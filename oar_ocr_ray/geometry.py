@@ -1,0 +1,271 @@
+"""Box / polygon geometry, numpy-vectorized.
+
+Reimplements (from public geometry knowledge, semantics checked against the
+reference's pure-function tests) the parts of
+/root/reference/src/processors/geometry.rs (IoU/IoA/intersection, accessors),
+/root/reference/src/utils/transform.rs:74-190 (get_rotate_crop_image:
+4-point perspective crop with vertical-text auto-rotate) and a connected-
+components labeler standing in for DB bitmap post-processing
+(/root/reference/src/processors/db_bitmap.rs) — binarize + component boxes.
+
+Boxes are numpy arrays. AABB = (x0, y0, x1, y1) float rows of shape (N, 4).
+Quads = (N, 4, 2) float in TL,TR,BR,BL order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# AABB math (vectorized)
+# ---------------------------------------------------------------------------
+
+def quad_to_aabb(quads: np.ndarray) -> np.ndarray:
+    """(N,4,2) quads -> (N,4) AABBs [x0,y0,x1,y1]."""
+    q = np.asarray(quads, dtype=np.float64)
+    if q.ndim == 2:
+        q = q[None]
+    x0 = q[..., 0].min(axis=-1)
+    y0 = q[..., 1].min(axis=-1)
+    x1 = q[..., 0].max(axis=-1)
+    y1 = q[..., 1].max(axis=-1)
+    return np.stack([x0, y0, x1, y1], axis=-1)
+
+
+def aabb_to_quad(boxes: np.ndarray) -> np.ndarray:
+    """(N,4) AABBs -> (N,4,2) quads in TL,TR,BR,BL order."""
+    b = np.asarray(boxes, dtype=np.float64)
+    if b.ndim == 1:
+        b = b[None]
+    x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    return np.stack(
+        [
+            np.stack([x0, y0], axis=-1),
+            np.stack([x1, y0], axis=-1),
+            np.stack([x1, y1], axis=-1),
+            np.stack([x0, y1], axis=-1),
+        ],
+        axis=1,
+    )
+
+
+def box_area(boxes: np.ndarray) -> np.ndarray:
+    b = np.asarray(boxes, dtype=np.float64)
+    return np.maximum(0.0, b[..., 2] - b[..., 0]) * np.maximum(0.0, b[..., 3] - b[..., 1])
+
+
+def intersection_area(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise intersection areas: a (N,4) x b (M,4) -> (N,M)."""
+    a = np.atleast_2d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(b, dtype=np.float64))
+    x0 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y0 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x1 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y1 = np.minimum(a[:, None, 3], b[None, :, 3])
+    return np.maximum(0.0, x1 - x0) * np.maximum(0.0, y1 - y0)
+
+
+def iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU (N,M). Empty boxes yield 0."""
+    inter = intersection_area(a, b)
+    area_a = box_area(np.atleast_2d(a))[:, None]
+    area_b = box_area(np.atleast_2d(b))[None, :]
+    union = area_a + area_b - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(union > 0, inter / union, 0.0)
+    return out
+
+
+def ioa_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise intersection-over-area-of-a (N,M)."""
+    inter = intersection_area(a, b)
+    area_a = box_area(np.atleast_2d(a))[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(area_a > 0, inter / area_a, 0.0)
+    return out
+
+
+def clamp_box(box: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Clamp an AABB to image bounds (reference: bbox_crop.rs:26-108)."""
+    b = np.asarray(box, dtype=np.float64).copy()
+    b[..., 0] = np.clip(b[..., 0], 0, w)
+    b[..., 2] = np.clip(b[..., 2], 0, w)
+    b[..., 1] = np.clip(b[..., 1], 0, h)
+    b[..., 3] = np.clip(b[..., 3], 0, h)
+    return b
+
+
+# ---------------------------------------------------------------------------
+# Perspective crop (reference transform.rs get_rotate_crop_image)
+# ---------------------------------------------------------------------------
+
+def order_quad_points(quad: np.ndarray) -> np.ndarray:
+    """Reorder 4 points to TL, TR, BR, BL.
+
+    TL = min(x+y), BR = max(x+y), TR = min(y-x), BL = max(y-x) — the standard
+    ordering the reference applies before warping (transform.rs:74-120).
+    """
+    q = np.asarray(quad, dtype=np.float64).reshape(4, 2)
+    s = q.sum(axis=1)
+    d = q[:, 1] - q[:, 0]
+    tl = q[np.argmin(s)]
+    br = q[np.argmax(s)]
+    tr = q[np.argmin(d)]
+    bl = q[np.argmax(d)]
+    return np.stack([tl, tr, br, bl])
+
+
+def perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """3x3 homography mapping src quad -> dst quad (solve 8-eq system)."""
+    src = np.asarray(src, dtype=np.float64).reshape(4, 2)
+    dst = np.asarray(dst, dtype=np.float64).reshape(4, 2)
+    a = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        x, y = src[i]
+        u, v = dst[i]
+        a[2 * i] = [x, y, 1, 0, 0, 0, -u * x, -u * y]
+        a[2 * i + 1] = [0, 0, 0, x, y, 1, -v * x, -v * y]
+        b[2 * i] = u
+        b[2 * i + 1] = v
+    coeffs = np.linalg.solve(a, b)
+    return np.append(coeffs, 1.0).reshape(3, 3)
+
+
+def get_rotate_crop_image(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
+    """Crop a quad region to an upright rectangle via perspective warp.
+
+    Semantics of /root/reference/src/utils/transform.rs:74-190: point
+    reordering TL,TR,BR,BL; destination size from edge lengths; bilinear
+    sampling; auto rotate 90° CCW when crop height >= 1.5 * width
+    (vertical text). Fully vectorized inverse-mapping warp.
+
+    img: (H, W) or (H, W, C) uint8. Returns same channel layout.
+    """
+    q = order_quad_points(quad)
+    w = int(round(max(np.linalg.norm(q[0] - q[1]), np.linalg.norm(q[3] - q[2]))))
+    h = int(round(max(np.linalg.norm(q[0] - q[3]), np.linalg.norm(q[1] - q[2]))))
+    w, h = max(w, 1), max(h, 1)
+    dst = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float64)
+    m_inv = perspective_matrix(dst, q)  # dst -> src mapping
+
+    ys, xs = np.mgrid[0:h, 0:w]
+    # sample at pixel centers
+    ones = np.ones_like(xs, dtype=np.float64)
+    pts = np.stack([xs + 0.5, ys + 0.5, ones], axis=0).reshape(3, -1)
+    mapped = m_inv @ pts
+    sx = mapped[0] / mapped[2] - 0.5
+    sy = mapped[1] / mapped[2] - 0.5
+
+    gray = img.ndim == 2
+    src = img[..., None] if gray else img
+    hh, ww = src.shape[:2]
+
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, ww - 1)
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, hh - 1)
+    x1 = np.minimum(x0 + 1, ww - 1)
+    y1 = np.minimum(y0 + 1, hh - 1)
+    fx = np.clip(sx - x0, 0.0, 1.0)[:, None]
+    fy = np.clip(sy - y0, 0.0, 1.0)[:, None]
+
+    f = src.astype(np.float64)
+    out = (
+        f[y0, x0] * (1 - fx) * (1 - fy)
+        + f[y0, x1] * fx * (1 - fy)
+        + f[y1, x0] * (1 - fx) * fy
+        + f[y1, x1] * fx * fy
+    )
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8).reshape(h, w, -1)
+    if gray:
+        out = out[..., 0]
+    # vertical-text auto-rotate (transform.rs: h >= 1.5w -> rotate270)
+    if h >= 1.5 * w:
+        out = np.rot90(out, k=-1) if not gray else np.rot90(out, k=-1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Connected components (stand-in for DB bitmap -> boxes postprocess)
+# ---------------------------------------------------------------------------
+
+def connected_component_boxes(
+    mask: np.ndarray, min_area: int = 9, max_candidates: int = 1000
+) -> np.ndarray:
+    """Boxes of 4-connected components of a boolean mask.
+
+    Plays the role of the DB postprocess contour extraction
+    (/root/reference/src/processors/db_postprocess.rs: binarize heatmap ->
+    contours -> boxes, max_candidates=1000 at db_postprocess.rs:81) for the
+    deterministic synthetic corpus. Row-run union-find: run extraction is
+    numpy-vectorized; the union loop touches runs, not pixels.
+
+    Returns (N,4) int64 AABBs [x0, y0, x1, y1] with exclusive x1/y1,
+    components with pixel area < min_area dropped, capped at max_candidates
+    (largest first), in arbitrary order.
+    """
+    m = np.asarray(mask, dtype=bool)
+    if m.size == 0 or not m.any():
+        return np.zeros((0, 4), dtype=np.int64)
+
+    h, w = m.shape
+    padded = np.zeros((h, w + 1), dtype=bool)
+    padded[:, :w] = m
+    flat = padded.ravel()
+    diff = np.diff(flat.astype(np.int8))
+    starts = np.flatnonzero(diff == 1) + 1
+    ends = np.flatnonzero(diff == -1) + 1
+    if flat[0]:
+        starts = np.concatenate([[0], starts])
+    # runs in padded-row coords
+    rows = starts // (w + 1)
+    rs = starts % (w + 1)
+    re = ends - rows * (w + 1)
+
+    n = len(starts)
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    # union runs on adjacent rows that overlap in columns (two-pointer sweep)
+    row_start_idx = np.searchsorted(rows, np.arange(h + 1))
+    for r in range(1, h):
+        i = row_start_idx[r - 1]
+        i_end = row_start_idx[r]
+        j = row_start_idx[r]
+        j_end = row_start_idx[r + 1]
+        while i < i_end and j < j_end:
+            if rs[i] < re[j] and rs[j] < re[i]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+            if re[i] < re[j]:
+                i += 1
+            else:
+                j += 1
+
+    roots = np.array([find(i) for i in range(n)])
+    uniq, inv = np.unique(roots, return_inverse=True)
+    k = len(uniq)
+    x0 = np.full(k, w, dtype=np.int64)
+    x1 = np.zeros(k, dtype=np.int64)
+    y0 = np.full(k, h, dtype=np.int64)
+    y1 = np.zeros(k, dtype=np.int64)
+    area = np.zeros(k, dtype=np.int64)
+    np.minimum.at(x0, inv, rs)
+    np.maximum.at(x1, inv, re)
+    np.minimum.at(y0, inv, rows)
+    np.maximum.at(y1, inv, rows + 1)
+    np.add.at(area, inv, re - rs)
+
+    keep = area >= min_area
+    boxes = np.stack([x0, y0, x1, y1], axis=1)[keep]
+    area = area[keep]
+    if len(boxes) > max_candidates:
+        order = np.argsort(-area)[:max_candidates]
+        boxes = boxes[order]
+    return boxes

@@ -1,0 +1,106 @@
+import numpy as np
+
+from oar_ocr_ray.geometry import (
+    aabb_to_quad,
+    box_area,
+    clamp_box,
+    connected_component_boxes,
+    get_rotate_crop_image,
+    intersection_area,
+    ioa_matrix,
+    iou_matrix,
+    order_quad_points,
+    perspective_matrix,
+    quad_to_aabb,
+)
+
+
+def test_quad_aabb_roundtrip():
+    b = np.array([[1.0, 2.0, 5.0, 7.0]])
+    q = aabb_to_quad(b)
+    assert q.shape == (1, 4, 2)
+    np.testing.assert_allclose(quad_to_aabb(q), b)
+
+
+def test_iou_ioa():
+    a = np.array([[0, 0, 10, 10]])
+    b = np.array([[5, 5, 15, 15], [20, 20, 30, 30]])
+    iou = iou_matrix(a, b)
+    np.testing.assert_allclose(iou[0, 0], 25 / 175)
+    assert iou[0, 1] == 0.0
+    ioa = ioa_matrix(a, b)
+    np.testing.assert_allclose(ioa[0, 0], 0.25)
+
+
+def test_intersection_and_area():
+    a = np.array([[0, 0, 4, 4]])
+    assert box_area(a)[0] == 16
+    inter = intersection_area(a, np.array([[2, 2, 6, 6]]))
+    assert inter[0, 0] == 4
+
+
+def test_clamp_box():
+    b = clamp_box(np.array([-5.0, -5.0, 200.0, 50.0]), 100, 40)
+    np.testing.assert_allclose(b, [0, 0, 100, 40])
+
+
+def test_order_quad_points():
+    q = np.array([[10, 10], [0, 10], [0, 0], [10, 0]], dtype=float)
+    ordered = order_quad_points(q)
+    np.testing.assert_allclose(ordered, [[0, 0], [10, 0], [10, 10], [0, 10]])
+
+
+def test_perspective_identity():
+    src = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    m = perspective_matrix(src, src)
+    np.testing.assert_allclose(m, np.eye(3), atol=1e-9)
+
+
+def test_axis_aligned_crop_is_exact():
+    img = np.zeros((20, 30), dtype=np.uint8)
+    img[5:10, 4:14] = 200
+    quad = np.array([[4, 5], [14, 5], [14, 10], [4, 10]], dtype=float)
+    crop = get_rotate_crop_image(img, quad)
+    assert crop.shape == (5, 10)
+    assert (crop == 200).all()
+
+
+def test_vertical_crop_auto_rotates():
+    img = np.arange(40 * 10, dtype=np.uint8).reshape(40, 10) % 255
+    quad = np.array([[0, 0], [10, 0], [10, 40], [0, 40]], dtype=float)
+    crop = get_rotate_crop_image(img, quad)
+    # h=40 >= 1.5*w=15 -> rotated to 10x40
+    assert crop.shape == (10, 40)
+
+
+def test_connected_components_simple():
+    mask = np.zeros((20, 30), dtype=bool)
+    mask[2:5, 3:10] = True  # box 1: area 21
+    mask[10:14, 15:25] = True  # box 2: area 40
+    boxes = connected_component_boxes(mask, min_area=9)
+    assert boxes.shape == (2, 4)
+    sorted_boxes = boxes[np.argsort(boxes[:, 1])]
+    np.testing.assert_array_equal(sorted_boxes[0], [3, 2, 10, 5])
+    np.testing.assert_array_equal(sorted_boxes[1], [15, 10, 25, 14])
+
+
+def test_connected_components_min_area_and_touching():
+    mask = np.zeros((10, 10), dtype=bool)
+    mask[0, 0] = True  # 1px speck -> dropped
+    mask[3:5, 3:5] = True  # area 4 < 9 -> dropped
+    boxes = connected_component_boxes(mask, min_area=9)
+    assert len(boxes) == 0
+
+
+def test_connected_components_l_shape():
+    # L-shaped region must be one component
+    mask = np.zeros((12, 12), dtype=bool)
+    mask[2:8, 2:4] = True
+    mask[6:8, 2:10] = True
+    boxes = connected_component_boxes(mask, min_area=4)
+    assert boxes.shape == (1, 4)
+    np.testing.assert_array_equal(boxes[0], [2, 2, 10, 8])
+
+
+def test_connected_components_empty():
+    assert connected_component_boxes(np.zeros((5, 5), dtype=bool)).shape == (0, 4)
