@@ -1,0 +1,183 @@
+"""Benchmark harness (driver contract).
+
+Headline: the flagship extraction pipeline (docs/sec) over a cached
+deterministic synthetic interleaved corpus; plus per-query timings over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+`bench.py --scaling` runs the headline job in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox evidence protocol for the
+N -> 4N cluster criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "6000"))
+SEED = 42
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "q6_revenue",
+    "events_tumbling",
+    "events_sessionize",
+    "token_counts",
+    "word_topk",
+    "dedup_exact",
+    "minhash_bands",
+    "ann_topk",
+    "extract_flagship",  # handled specially below (headline corpus)
+]
+
+
+def corpus_dir() -> dict:
+    """Generate (once, cached) the bench corpus in /tmp."""
+    import json as _json
+
+    d = os.path.join("/tmp", f"oar_bench_corpus_v1_{BENCH_DOCS}_{SEED}")
+    meta_path = os.path.join(d, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return _json.load(f)
+    from oar_ocr_ray.fixtures import write_corpus
+
+    meta = write_corpus(d, BENCH_DOCS, seed=SEED, n_doc_files=32, with_golden=False)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def run_flagship(meta: dict, num_cpus: int) -> tuple[float, int]:
+    from oar_ocr_ray.pipelines.extract import build_extract_pipeline
+
+    det = max(2, num_cpus // 2)
+    rec = max(1, num_cpus // 4)
+    ds = build_extract_pipeline(
+        meta["doc_files"], meta["media_dir"],
+        n_parts=max(32, num_cpus * 4),
+        det_concurrency=det, rec_concurrency=rec,
+    )
+    t0 = time.perf_counter()
+    n = ds.count()
+    dt = time.perf_counter() - t0
+    assert n == meta["n_docs"], (n, meta["n_docs"])
+    return dt, n
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    meta = corpus_dir()
+    # warm page cache (untimed read) so we measure compute + shuffle
+    import pyarrow.parquet as pq
+
+    for f in meta["doc_files"]:
+        pq.read_table(f)
+
+    from oar_ocr_ray.queries import QUERIES
+
+    qtimes: dict[str, float] = {}
+    headline = None
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        if name == "extract_flagship":
+            dt, n = run_flagship(meta, NUM_CPUS)
+            qtimes[name] = round(dt, 3)
+            headline = dt
+            continue
+        res = QUERIES[name](SF_DIR)
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "flagship_extract_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": meta["n_docs"],
+        "docs_per_sec": round(meta["n_docs"] / headline, 2),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """Run the headline job at num_cpus=8 and 32 in fresh processes."""
+    corpus_dir()  # pre-generate so both runs see a warm corpus
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY_FLAGSHIP="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "docs_per_sec_8": lo["docs_per_sec"],
+                "docs_per_sec_32": hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "bench_docs": lo.get("bench_docs"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("BENCH_ONLY_FLAGSHIP"):
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        meta = corpus_dir()
+        dt, n = run_flagship(meta, NUM_CPUS)
+        ray.shutdown()
+        print(json.dumps({
+            "metric": "flagship_extract_sec", "value": round(dt, 3), "unit": "sec",
+            "queries": {}, "sf": SF_DIR, "num_cpus": NUM_CPUS,
+            "bench_docs": n, "docs_per_sec": round(n / dt, 2),
+        }))
+    else:
+        main()

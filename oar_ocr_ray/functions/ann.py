@@ -1,0 +1,80 @@
+"""Similarity search over an embedding column (list<float>).
+
+  brute_force_topk — baseline: per-batch numpy matmul of the batch's
+      embedding matrix against a BROADCAST query matrix (ray.put once, read
+      per actor — never re-shipped per batch), emitting per-batch partial
+      top-k; a final tiny reduce keeps global top-k per query. Exact.
+
+  lsh_topk — scale path: random-hyperplane LSH bucket per vector computed in
+      map_batches; queries only score vectors in their own (multi-probe)
+      buckets. Approximate, shuffle-free (bucket id is a narrow column).
+
+Cosine convention: vectors L2-normalized; zero vectors score 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def embedding_matrix(df: pd.DataFrame, col: str = "embedding") -> np.ndarray:
+    return np.stack(df[col].to_numpy()).astype(np.float64)
+
+
+class BruteForceScorer:
+    """Actor-pool stage: holds the (broadcast) query matrix; emits partial
+    top-k (query_id, vec_id, score) rows per batch."""
+
+    def __init__(self, queries_ref, k: int = 10):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.qids = np.asarray(q["ids"])
+        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(embedding_matrix(df))
+        scores = self.qm @ m.T  # (Q, B)
+        vec_ids = df["vec_id"].to_numpy()
+        k = min(self.k, scores.shape[1])
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        rows = {
+            "query_id": np.repeat(self.qids, k),
+            "vec_id": vec_ids[part].ravel(),
+            "score": np.take_along_axis(scores, part, axis=1).ravel(),
+        }
+        return pd.DataFrame(rows)
+
+
+def topk_reduce(df: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """Final reduce over partial top-k rows (small: Q * k * n_batches)."""
+    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["score"] = out["score"].round(6)
+    return out
+
+
+class HyperplaneLsh:
+    """Random-hyperplane signature (nbits-bit bucket id) per vector."""
+
+    def __init__(self, dim: int, nbits: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((nbits, dim))
+        self.nbits = nbits
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits.astype(np.uint64) << np.arange(self.nbits, dtype=np.uint64)).sum(axis=1).astype(np.int64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = self.bucket(embedding_matrix(df))
+        return df

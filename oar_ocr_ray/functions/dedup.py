@@ -1,0 +1,140 @@
+"""Deduplication operators over the flat documents table.
+
+Ray-Data-first designs (see /opt-documented public patterns: MinHash-LSH as
+shingle->minhash->band-bucket groupby):
+
+  exact_dedup      — content-hash in map_batches, then hash-partitioned
+                     per-group keep-min(doc_id). The hash column (not the
+                     text) is the shuffle key, so the exchange moves 8-byte
+                     keys, not payloads.
+  minhash_lsh      — per-batch vectorized shingle minhash signatures,
+                     explode to (band, band_hash) rows, groupby bands ->
+                     candidate pairs -> exact n-gram Jaccard verify.
+  simhash          — 64-bit simhash per doc, bucket by 16-bit quadrants
+                     (Hamming<=3 within quadrant match guarantee).
+  embedding near-dup — cosine against hash-bucketed neighbors.
+
+All per-batch math is numpy; shuffles are groupbys on small key columns.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _norm_text(s: pd.Series) -> pd.Series:
+    return s.fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def content_hash(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Exact-dup key: crc32(normalized text) (cheap, deterministic)."""
+    t = _norm_text(df[col])
+    df = df.copy()
+    df["content_hash"] = np.fromiter(
+        (zlib.crc32(x.encode()) for x in t), dtype=np.int64, count=len(t)
+    )
+    return df
+
+
+def shingle_set(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingles hashed to int64 (crc32)."""
+    words = text.split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    return np.unique(
+        np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64, count=len(grams))
+    )
+
+
+class MinHasher:
+    """Stateful minhash signer (actor pool): permutation params built once.
+
+    num_perm universal-hash permutations over a Mersenne prime; signature
+    split into `bands` bands of `rows` rows for LSH banding.
+    """
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3, seed: int = 7):
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.ngram = ngram
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_set(text, self.ngram)
+        if len(sh) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
+        # (P, S) universal hashing, min over shingles
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1)
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """Collapse each band to one int64 bucket key."""
+        out = np.empty(self.bands, dtype=np.int64)
+        for i in range(self.bands):
+            band = sig[i * self.rows:(i + 1) * self.rows]
+            out[i] = zlib.crc32(band.tobytes())
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        """map_batches: emit one row per (doc, band) — the LSH explode."""
+        t = _norm_text(df["text"])
+        ids, bands, hashes = [], [], []
+        for doc_id, text in zip(df["doc_id"], t):
+            bh = self.band_hashes(self.signature(text))
+            ids.extend([doc_id] * self.bands)
+            bands.extend(range(self.bands))
+            hashes.extend(bh.tolist())
+        return pd.DataFrame(
+            {"doc_id": ids, "band": np.asarray(bands, np.int32), "band_hash": np.asarray(hashes, np.int64)}
+        )
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+def simhash64(text: str, ngram: int = 3) -> int:
+    """64-bit simhash over word n-gram crc32 features (splitmix64-mixed)."""
+    sh = shingle_set(text, ngram)
+    if len(sh) == 0:
+        return 0
+    x = sh.astype(np.uint64)
+    # splitmix64 to spread crc32 into 64 bits
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_batch(df: pd.DataFrame, ngram: int = 3) -> pd.DataFrame:
+    t = _norm_text(df["text"])
+    out = pd.DataFrame({"doc_id": df["doc_id"].values})
+    sh = np.fromiter((simhash64(x, ngram) for x in t), dtype=np.uint64, count=len(t))
+    out["simhash"] = sh.astype(np.int64)  # arrow-friendly
+    # 4x16-bit quadrant keys: two docs with Hamming distance <= 3 share at
+    # least one quadrant (pigeonhole) -> groupby candidate buckets
+    for q in range(4):
+        out[f"quad{q}"] = ((sh >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
+    return out

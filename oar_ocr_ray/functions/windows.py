@@ -1,0 +1,47 @@
+"""Window aggregates over the `events` stream table.
+
+Ray Data has no event-time windowing; the reference is strictly batch too
+(SURVEY.md §2.9). These express windows the Ray-idiomatic way: partition by
+key, order by ts within the group, window with vectorized pandas inside
+`map_groups` — ordering assumption is intra-group only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def tumbling_window(df: pd.DataFrame, minutes: int = 60) -> pd.DataFrame:
+    """Per (event_type, window_start): count + sum(value). Pre-aggregates
+    inside each batch (partial), so the groupby that follows only shuffles
+    one row per (type, window, batch) — the combiner pattern."""
+    w = df["ts"].dt.floor(f"{minutes}min")
+    g = (
+        df.assign(window_start=w)
+        .groupby(["event_type", "window_start"], sort=False, as_index=False)
+        .agg(n_events=("event_id", "count"), sum_value=("value", "sum"))
+    )
+    return g
+
+
+def sessionize(g: pd.DataFrame, gap_minutes: int = 30) -> pd.DataFrame:
+    """Per-user session windows: a new session starts when the gap from the
+    previous event exceeds gap_minutes. Runs inside groupby(user_id)
+    .map_groups with the group sorted by ts."""
+    g = g.sort_values(["ts", "event_id"])
+    gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+    session_idx = gap.cumsum().fillna(0).astype(np.int64)
+    out = (
+        g.assign(session_idx=session_idx)
+        .groupby("session_idx", sort=True)
+        .agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+            sum_value=("value", "sum"),
+        )
+        .reset_index(drop=True)
+    )
+    return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]

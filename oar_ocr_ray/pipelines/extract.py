@@ -1,0 +1,143 @@
+"""Flagship extraction pipeline (the north-star job).
+
+One streaming Ray Data pass reproducing the reference's OCR extraction
+semantics (/root/reference/src/oarocr/ocr.rs:452-574 predict) over the
+interleaved text+media `documents` table:
+
+  read_parquet(documents)                      # columns pruned at the read
+    -> map_batches(explode_spans)              # doc -> span rows (+anchors), Arrow-vectorized
+    -> map_batches(strip_text_spans)           # text path: vectorized boilerplate strip
+    -> map_batches(MediaDetect,  actors)       # media path: decode+orient+detect+crop fan-out
+    -> map_batches(Recognize,    actors)       # wh-sorted batched recognition + real CTC decode
+    -> groupby(part).map_groups(rebuild)       # THE shuffle: exact sequence reconstruction
+    -> write_parquet(shard dir)                # committed per shard via manifest
+
+Scale properties: decoded pixels never enter the shuffle (crops are dropped
+before the groupby); media payloads are point-lookups against the bucketed
+store, not a join; the only all-to-all exchange is keyed on `part`
+(crc32(doc_id) % n_parts), with media-heavy documents pre-balanced by the
+explode-to-crop-rows fan-out. Never materializes the dataset.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import ray.data
+
+from ..stages.explode import make_explode_spans
+from ..stages.media import MediaDetect, Recognize
+from ..stages.reassemble import rebuild_partition
+from ..stages.text import strip_text_spans
+
+
+def build_extract_pipeline(
+    doc_files: list[str] | str,
+    media_dir: str,
+    *,
+    n_parts: int = 64,
+    det_concurrency: int = 4,
+    rec_concurrency: int = 2,
+    det_batch_size: int = 64,
+    rec_batch_size: int = 512,
+) -> "ray.data.Dataset":
+    """Build the lazy Dataset DAG (nothing executes until consumed)."""
+    ds = ray.data.read_parquet(doc_files, columns=["doc_id", "spans"])
+    ds = ds.map_batches(make_explode_spans(n_parts), batch_format="pyarrow")
+    ds = ds.map_batches(strip_text_spans, batch_format="pyarrow")
+    ds = ds.map_batches(
+        MediaDetect,
+        fn_constructor_kwargs={"media_dir": media_dir},
+        batch_format="pyarrow",
+        batch_size=det_batch_size,
+        concurrency=det_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        Recognize,
+        batch_format="pyarrow",
+        batch_size=rec_batch_size,
+        concurrency=rec_concurrency,
+        num_cpus=1,
+    )
+    return ds.groupby("part").map_groups(rebuild_partition, batch_format="pyarrow")
+
+
+def run_extract(
+    doc_files: list[str],
+    media_dir: str,
+    out_dir: str,
+    *,
+    n_shards: int = 4,
+    max_shards: int | None = None,
+    **pipeline_kwargs,
+) -> dict:
+    """Sharded, resumable run: each shard = a group of input files processed
+    by one streaming pipeline, committed atomically (tmp dir -> rename ->
+    manifest append). Re-running skips committed shards. `max_shards` limits
+    how many incomplete shards to process (used to test kill/resume)."""
+    from ..state.checkpoint import ShardManifest
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = ShardManifest(out_dir)
+    done = manifest.completed()
+
+    n_shards = min(n_shards, len(doc_files))
+    shards = [sorted(doc_files)[i::n_shards] for i in range(n_shards)]
+    processed = 0
+    t_start = time.perf_counter()
+    for sid, files in enumerate(shards):
+        if sid in done or not files:
+            continue
+        if max_shards is not None and processed >= max_shards:
+            break
+        t0 = time.perf_counter()
+        ds = build_extract_pipeline(files, media_dir, **pipeline_kwargs)
+        final = os.path.join(out_dir, f"shard-{sid:05d}")
+        tmp = os.path.join(out_dir, f".tmp-shard-{sid:05d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        import pyarrow.parquet as pq
+
+        n_docs = sum(
+            pq.read_metadata(os.path.join(final, f)).num_rows
+            for f in os.listdir(final)
+            if f.endswith(".parquet")
+        )
+        manifest.commit(
+            sid,
+            {
+                "inputs": files,
+                "output": final,
+                "docs": n_docs,
+                "wall_sec": round(time.perf_counter() - t0, 3),
+            },
+        )
+        processed += 1
+    return {
+        "out_dir": out_dir,
+        "shards_total": n_shards,
+        "shards_done": len(manifest.completed()),
+        "shards_processed_now": processed,
+        "wall_sec": time.perf_counter() - t_start,
+    }
+
+
+def read_output(out_dir: str):
+    """All committed shard outputs as one pyarrow Table (test helper)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from ..state.checkpoint import ShardManifest
+
+    tables = []
+    for rec in ShardManifest(out_dir).completed().values():
+        d = rec["output"]
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                tables.append(pq.read_table(os.path.join(d, f)))
+    return pa.concat_tables(tables) if tables else None

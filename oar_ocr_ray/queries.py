@@ -1,0 +1,738 @@
+"""Operator queries over /root/testdata parquet + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 (and the training-data
+extensions) is exposed as a named query: a Ray Data implementation
+(`QUERIES[name]` — callable taking sf_dir) paired with equivalent ANSI SQL
+(`ORACLE_SQL[name]`) the driver runs via DuckDB on the same parquet views.
+Column names and rounding are kept identical on both sides so the driver's
+order-insensitive value-hash matches.
+
+Scale patterns demonstrated (and used at 100 TB):
+  - column pruning at read_parquet;
+  - partial aggregation inside map_batches before every groupby (the
+    combiner), so the shuffle moves per-batch partials, not rows;
+  - broadcast small sides via ray.put + per-batch lookup (no shuffle join);
+  - hash-partitioned Dataset.join only where both sides are large;
+  - per-group windowing via groupby(key).map_groups over ts-sorted groups;
+  - dedup keyed on content hashes, with in-group exact verification.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(_p(sf_dir, table), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate with in-batch partial aggregation (combiner) —
+    reference analogue: per-batch partial max_wh_ratio (crnn.rs:70-77)
+    generalized to sums/counts."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"].to_numpy() <= cutoff]
+        df = df.assign(
+            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
+            n=1,
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False, sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("n", "sum"),
+        )
+        return g
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
+        df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            df[c] = df[c].round(2)
+        df["count_order"] = df["count_order"].astype("int64")
+        return df
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       count(*)                                             AS count_order,
+       round(sum(l_quantity) / count(*), 4)                 AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 4)            AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue(sf_dir: str):
+    """Scalar filter-aggregate; predicate applied vectorized per batch."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (df["l_shipdate"].to_numpy() >= lo)
+            & (df["l_shipdate"].to_numpy() < hi)
+            & (df["l_discount"] >= 0.05)
+            & (df["l_discount"] <= 0.07)
+            & (df["l_quantity"] < 24)
+        )
+        d = df[m]
+        return pd.DataFrame({"rev": [(d["l_extendedprice"] * d["l_discount"]).sum()]})
+
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    total = ds.map_batches(partial, batch_format="pandas").aggregate(Sum("rev", alias_name="revenue"))
+    return pd.DataFrame({"revenue": [round(float(total["revenue"] or 0.0), 2)]})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q3_top_orders(sf_dir: str):
+    """Broadcast-join pattern: customer segment + order dates are broadcast
+    (ray.put once, read per task), lineitem streams; top-10 by revenue."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = pd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cutoff = np.datetime64("1997-01-01")
+    om = orders[orders["o_custkey"].isin(building) & (orders["o_orderdate"].to_numpy() < cutoff)]
+    okey_to_date = ray.put(dict(zip(om["o_orderkey"], om["o_orderdate"])))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(okey_to_date)
+        m = df["l_orderkey"].isin(lookup.keys()) & (df["l_shipdate"].to_numpy() > cutoff)
+        d = df[m]
+        d = d.assign(rev=d["l_extendedprice"] * (1 - d["l_discount"]))
+        return d.groupby("l_orderkey", as_index=False, sort=False).agg(revenue=("rev", "sum"))
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("l_orderkey").aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+    top = agg.to_pandas()
+    top["revenue"] = top["revenue"].round(2)
+    top = top.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    top = top.rename(columns={"l_orderkey": "o_orderkey"})
+    return top.reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l.l_orderkey AS o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Hash-partitioned Dataset.join for the big-big edge (lineitem x
+    orders), broadcast maps for the small dimensions."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = line.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df["o_custkey"].map(cust_nation)
+        name = nk.map(nation_name)
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = pd.DataFrame({"n_name": name, "rev": rev}).groupby("n_name", as_index=False, sort=False)[
+            "rev"
+        ].sum()
+        return g.rename(columns={"rev": "revenue"})
+
+    agg = joined.map_batches(partial, batch_format="pandas").groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+Q5_SQL = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def orders_per_customer_topk(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False, sort=False).agg(n_orders=("o_orderkey", "count"))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("o_custkey").aggregate(
+        Sum("n_orders", alias_name="n_orders")
+    )
+    top = agg.to_pandas()
+    top["n_orders"] = top["n_orders"].astype("int64")
+    top = top.sort_values(["n_orders", "o_custkey"], ascending=[False, True]).head(20)
+    return top.reset_index(drop=True)
+
+
+ORDERS_TOPK_SQL = """
+SELECT o_custkey, count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY n_orders DESC, o_custkey
+LIMIT 20
+"""
+
+
+def filter_highvalue_orders(sf_dir: str):
+    """Filter + projection with predicate applied as an Arrow filter."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)),
+        batch_format="pyarrow",
+    )
+
+
+FILTER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_totalprice > 400000.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregates
+# ---------------------------------------------------------------------------
+
+def events_tumbling(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .functions.windows import tumbling_window
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    partials = ds.map_batches(lambda df: tumbling_window(df, 60), batch_format="pandas")
+    agg = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        df["sum_value"] = df["sum_value"].round(2)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min gap) via groupby(user).map_groups over
+    ts-sorted groups — the Ray-idiomatic stream-window pattern."""
+    from .functions.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = ds.groupby("user_id").map_groups(
+        lambda g: sessionize(g, 30), batch_format="pandas"
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        df["sum_value"] = df["sum_value"].round(2)
+        return df
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+EVENTS_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis / dedup / explode-regroup
+# ---------------------------------------------------------------------------
+
+def token_counts(sf_dir: str):
+    from .functions.text_analysis import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: token_count(df)[["doc_id", "n_tokens"]], batch_format="pandas"
+    )
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def quality_scores(sf_dir: str):
+    from .functions.text_analysis import quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cols = ["doc_id", "n_chars_m", "alpha_ratio", "digit_ratio", "punct_ratio", "space_ratio"]
+    return ds.map_batches(lambda df: quality_score(df)[cols], batch_format="pandas")
+
+
+QUALITY_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+             / greatest(length(text), 1), 6) AS digit_ratio,
+       round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round((length(text) - length(regexp_replace(text, '\s', '', 'g'))) * 1.0
+             / greatest(length(text), 1), 6) AS space_ratio
+FROM documents
+"""
+
+
+def word_topk(sf_dir: str):
+    """Global token frequency top-20: per-batch value_counts partials ->
+    groupby(word) sum -> driver-side top-k (tiny)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.strip().str.split()
+        vc = words.explode().dropna().value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+
+    ds = _read(sf_dir, "documents", ["text"])
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("word").aggregate(
+        Sum("n", alias_name="n")
+    )
+    top = agg.to_pandas()
+    top = top[top["word"] != ""]
+    top["n"] = top["n"].astype("int64")
+    top = top.sort_values(["n", "word"], ascending=[False, True]).head(20)
+    return top.reset_index(drop=True)
+
+
+WORD_TOPK_SQL = r"""
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+) WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash partials -> hash-partitioned groupby ->
+    in-group exact string compare (collision-proof), keep min(doc_id)."""
+    from .functions.dedup import content_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(content_hash, batch_format="pandas")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        norm = g["text"].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        out = (
+            g.assign(_norm=norm)
+            .groupby("_norm", as_index=False, sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "count"))
+        )
+        return out[["doc_id", "n_dups"]]
+
+    out = hashed.groupby("content_hash").map_groups(per_group, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_dups"] = df["n_dups"].astype("int64")
+        return df
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+"""
+
+
+def span_roundtrip(sf_dir: str):
+    """Explode -> filter -> shuffle-regroup -> ordered rejoin: the
+    sequence-reconstruction machinery with a SQL-checkable oracle."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        words = df["text"].fillna("").str.split(" ")
+        n = words.str.len().to_numpy()
+        doc = np.repeat(df["doc_id"].to_numpy(), n)
+        pos = np.concatenate([np.arange(k) for k in n]) if len(n) else np.array([], dtype=np.int64)
+        w = np.concatenate([np.asarray(x, dtype=object) for x in words]) if len(n) else np.array([], dtype=object)
+        part = np.fromiter(
+            (zlib.crc32(str(d).encode()) % 32 for d in doc), dtype=np.int32, count=len(doc)
+        )
+        return pa.table(
+            {"doc_id": pa.array(doc), "pos": pa.array(pos, pa.int64()),
+             "word": pa.array(w, pa.string()), "part": pa.array(part)}
+        )
+
+    def keep_long(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(pc.utf8_length(t["word"]), 3))
+
+    def regroup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["doc_id", "pos"])
+        g = df.groupby("doc_id", sort=True)["word"].agg(" ".join).reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"word": "text_kept"}), preserve_index=False
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(explode, batch_format="pyarrow")
+    ds = ds.map_batches(keep_long, batch_format="pyarrow")
+    return ds.groupby("part").map_groups(regroup, batch_format="pyarrow")
+
+
+SPAN_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       array_to_string(list_filter(string_split(text, ' '), x -> len(x) > 3), ' ') AS text_kept
+FROM documents
+WHERE len(list_filter(string_split(text, ' '), x -> len(x) > 3)) > 0
+"""
+
+
+def boilerplate_strip_docs(sf_dir: str):
+    """Whitespace-normalization strip over the flat documents table (the
+    text-span path of the flagship, SQL-checkable here)."""
+    from .textproc import strip_boilerplate_series
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "clean_text": strip_boilerplate_series(df["text"])})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(run, batch_format="pandas")
+
+
+# testdata docs are single-line and boilerplate-free, so the strip reduces to
+# exact whitespace normalization — still the same code path as the flagship.
+BOILERPLATE_SQL = r"""
+SELECT doc_id, trim(regexp_replace(text, '[ \t\r\f\v]+', ' ', 'g')) AS clean_text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def ann_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
+    matmul partials, tiny final reduce."""
+    import ray
+
+    from .functions.ann import BruteForceScorer, topk_reduce
+
+    qdf = pd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = qdf.nsmallest(n_queries, "vec_id")
+    queries_ref = ray.put(
+        {"ids": qdf["vec_id"].to_numpy(), "matrix": np.stack(qdf["embedding"].to_numpy())}
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pandas",
+        concurrency=2,
+    )
+    return topk_reduce(partials.to_pandas(), k)
+
+
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qe, e.embedding), 6) AS score
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 10
+"""
+
+
+def embedding_label_norms(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        g = pd.DataFrame({"label": df["label"].to_numpy(), "s": norms, "n": 1}).groupby(
+            "label", as_index=False, sort=False
+        ).agg(s=("s", "sum"), n=("n", "sum"))
+        return g
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("label").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "label": df["label"].astype("int32"),
+                "n_vecs": df["n"].astype("int64"),
+                "avg_norm": (df["s"] / df["n"]).round(6),
+            }
+        )
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+EMB_NORMS_SQL = """
+SELECT label, count(*) AS n_vecs,
+       round(avg(sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only (non-SQL-expressible) operators
+# ---------------------------------------------------------------------------
+
+def lang_id(sf_dir: str):
+    from .functions.text_analysis import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pandas", concurrency=2
+    ).select_columns(["doc_id", "pred_lang", "lang_score"])
+
+
+def fingerprints(sf_dir: str):
+    from .functions.text_analysis import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: fingerprint(df)[["doc_id", "fp_crc", "fp_min_shingle"]],
+        batch_format="pandas",
+    )
+
+
+def minhash_bands(sf_dir: str):
+    """MinHash-LSH banding: signature per doc (actor pool), exploded to
+    (doc_id, band, band_hash) rows — the groupby on (band, band_hash) then
+    yields candidate duplicate pairs."""
+    from .functions.dedup import MinHasher
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(MinHasher, batch_format="pandas", concurrency=2)
+
+
+def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8):
+    """Full near-dup flow: bands -> bucket groupby -> candidate pairs ->
+    exact n-gram Jaccard verification (broadcast shingles for candidates)."""
+    from .functions.dedup import MinHasher, jaccard, shingle_set
+
+    bands = minhash_bands(sf_dir)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"]) if out else pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        )
+
+    cand = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    docs = pd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    sub = docs[docs["doc_id"].isin(need)]
+    norm = sub["text"].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    sh = {d: shingle_set(t, MinHasher().ngram) for d, t in zip(sub["doc_id"], norm)}
+    jac = [jaccard(sh[a], sh[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
+    cand = cand.assign(jaccard=np.round(jac, 6))
+    return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+
+
+def simhash_buckets(sf_dir: str):
+    from .functions.dedup import simhash_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pandas", concurrency=2)
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nbits: int = 8):
+    """LSH-bucketed ANN: vectors bucketed by random hyperplanes; queries
+    scored only against their own bucket (approximate, shuffle-free)."""
+    import ray
+
+    from .functions.ann import BruteForceScorer, HyperplaneLsh, topk_reduce, _normalize
+
+    emb = pd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    dim = len(emb["embedding"].iloc[0])
+    lsh = HyperplaneLsh(dim, nbits=nbits)
+    qdf = emb.nsmallest(n_queries, "vec_id")
+    qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    qbuckets = lsh.bucket(qm)
+    wanted = set(int(b) for b in qbuckets)
+    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": qm})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(lambda df: lsh(df), batch_format="pandas")
+    filtered = bucketed.map_batches(
+        lambda df: df[df["bucket"].isin(wanted)].drop(columns=["bucket"]),
+        batch_format="pandas",
+    )
+    partials = filtered.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pandas",
+        concurrency=2,
+    )
+    return topk_reduce(partials.to_pandas(), k)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q6_revenue": q6_revenue,
+    "orders_per_customer_topk": orders_per_customer_topk,
+    "filter_highvalue_orders": filter_highvalue_orders,
+    "events_tumbling": events_tumbling,
+    "events_sessionize": events_sessionize,
+    "token_counts": token_counts,
+    "quality_scores": quality_scores,
+    "word_topk": word_topk,
+    "dedup_exact": dedup_exact,
+    "span_roundtrip": span_roundtrip,
+    "boilerplate_strip_docs": boilerplate_strip_docs,
+    "ann_topk": ann_topk,
+    "embedding_label_norms": embedding_label_norms,
+    # rows-only (no SQL oracle)
+    "lang_id": lang_id,
+    "fingerprints": fingerprints,
+    "minhash_bands": minhash_bands,
+    "minhash_dup_pairs": minhash_dup_pairs,
+    "simhash_buckets": simhash_buckets,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "q6_revenue": Q6_SQL,
+    "orders_per_customer_topk": ORDERS_TOPK_SQL,
+    "filter_highvalue_orders": FILTER_SQL,
+    "events_tumbling": EVENTS_TUMBLING_SQL,
+    "events_sessionize": EVENTS_SESSION_SQL,
+    "token_counts": TOKEN_COUNTS_SQL,
+    "quality_scores": QUALITY_SQL,
+    "word_topk": WORD_TOPK_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "span_roundtrip": SPAN_ROUNDTRIP_SQL,
+    "boilerplate_strip_docs": BOILERPLATE_SQL,
+    "ann_topk": ANN_TOPK_SQL,
+    "embedding_label_norms": EMB_NORMS_SQL,
+}

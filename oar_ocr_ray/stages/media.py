@@ -1,0 +1,213 @@
+"""Media path: decode -> orient -> detect -> crop (actor) and recognize (actor).
+
+Two stateful actor-pool `map_batches` stages mirroring the reference stage
+graph (/root/reference/src/oarocr/ocr.rs:452-574):
+
+  MediaDetect  — per image: fetch bytes by media_ref from the bucketed media
+                 store, PNG-decode, orientation classify + inverse rotate
+                 (preprocess.rs:58-143 policy), detect line boxes, raster-sort
+                 them (sorting.rs:35-84) and emit one CROP ROW per detection
+                 via the perspective-crop path (transform.rs:74-190). The
+                 explode-to-crop-rows fan-out is the det->rec edge
+                 (ocr.rs:641 crop_text_regions), which also load-balances
+                 media-heavy documents across the cluster.
+
+  Recognize    — per batch: sort crops by wh_ratio ascending (padding
+                 efficiency, ocr.rs:733-737), decode each crop to CTC logits
+                 (deterministic stand-in for the SVTR/CRNN forward pass) and
+                 run the REAL greedy CTC decoder, then scatter results back
+                 to detection order (ocr.rs:797).
+
+Both stages pass non-media rows through untouched so the whole pipeline is a
+single streaming pass (no re-read of the input for the text branch).
+
+Media store: hash-bucketed parquet keyed by media_ref. Actors lazily load
+and LRU-cache whole buckets — the point-lookup pattern that replaces a
+shuffle join of image payloads (at production scale media_ref is a blob
+store key; payloads never enter an all-to-all exchange).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..ctc import ctc_greedy_decode, encode_ctc_logits
+from ..geometry import aabb_to_quad, get_rotate_crop_image
+from ..png_codec import decode_png
+from ..sorting import sort_quad_boxes_indices
+from ..stubs import classify_orientation, correct_orientation, detect_boxes, read_crop_text
+
+CROP_FIELDS = [
+    ("crop", pa.binary()),
+    ("crop_h", pa.int32()),
+    ("crop_w", pa.int32()),
+    ("wh_ratio", pa.float32()),
+]
+
+
+def _with_null_crop_cols(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    for name, typ in CROP_FIELDS:
+        if name not in batch.column_names:
+            batch = batch.append_column(name, pa.nulls(n, type=typ))
+    return batch
+
+
+class MediaStore:
+    """Bucketed parquet media store with per-actor LRU bucket cache.
+
+    Only (media_ref, png) is ever read — ground-truth columns stay unread.
+    """
+
+    def __init__(self, media_dir: str, max_cached_buckets: int = 64):
+        self.media_dir = media_dir
+        self.max_cached = max_cached_buckets
+        self._files = sorted(
+            f for f in os.listdir(media_dir) if f.endswith(".parquet")
+        )
+        self._ref_to_bucket: dict[str, str] | None = None
+        self._cache: OrderedDict[str, dict[str, bytes]] = OrderedDict()
+
+    def _bucket_of(self, ref: str) -> str:
+        import zlib
+
+        b = zlib.crc32(ref.encode()) % len(self._files)
+        return f"bucket-{b:03d}.parquet"
+
+    def _load_bucket(self, fname: str) -> dict[str, bytes]:
+        if fname in self._cache:
+            self._cache.move_to_end(fname)
+            return self._cache[fname]
+        t = pq.read_table(os.path.join(self.media_dir, fname), columns=["media_ref", "png"])
+        d = dict(zip(t["media_ref"].to_pylist(), t["png"].to_pylist()))
+        self._cache[fname] = d
+        if len(self._cache) > self.max_cached:
+            self._cache.popitem(last=False)
+        return d
+
+    def get(self, ref: str) -> bytes | None:
+        """Payload bytes, or None when the ref is absent from the store."""
+        return self._load_bucket(self._bucket_of(ref)).get(ref)
+
+
+class MediaDetect:
+    """Actor: media span rows -> crop rows (others pass through)."""
+
+    def __init__(self, media_dir: str, min_area: int = 9, max_cached_buckets: int = 64):
+        self.store = MediaStore(media_dir, max_cached_buckets)
+        self.min_area = min_area
+        self.missing_media = 0  # lost blobs skipped, not fatal (ocr.rs:510-523 precedent)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        is_img = pc.equal(batch["kind"], "image")
+        passthrough = _with_null_crop_cols(batch.filter(pc.invert(is_img)))
+        img_rows = batch.filter(is_img)
+        if len(img_rows) == 0:
+            return passthrough
+
+        doc_ids = img_rows["doc_id"].to_pylist()
+        offsets = img_rows["offset"].to_pylist()
+        refs = img_rows["media_ref"].to_pylist()
+        parts = img_rows["part"].to_pylist()
+
+        out = {k: [] for k in ("doc_id", "offset", "det_idx", "kind", "text",
+                               "media_ref", "part", "crop", "crop_h", "crop_w", "wh_ratio")}
+        for doc_id, offset, ref, part in zip(doc_ids, offsets, refs, parts):
+            payload = self.store.get(ref)
+            if payload is None:
+                # A lost media object must not kill a 10^12-doc run: the span
+                # contributes no lines (same as an empty page); counted per actor.
+                self.missing_media += 1
+                continue
+            img = decode_png(payload)[:, :, 0]  # grayscale channel
+            cls = classify_orientation(img)
+            img = correct_orientation(img, cls)
+            boxes = detect_boxes(img, min_area=self.min_area)
+            if len(boxes) == 0:
+                continue
+            order = sort_quad_boxes_indices(boxes.astype(np.float64))
+            for det_idx, j in enumerate(order):
+                quad = aabb_to_quad(boxes[j].astype(np.float64))[0]
+                crop = get_rotate_crop_image(img, quad)
+                h, w = crop.shape[:2]
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["det_idx"].append(det_idx)
+                out["kind"].append("image")
+                out["text"].append("")
+                out["media_ref"].append(ref)
+                out["part"].append(part)
+                out["crop"].append(crop.tobytes())
+                out["crop_h"].append(h)
+                out["crop_w"].append(w)
+                out["wh_ratio"].append(w / max(h, 1))
+
+        crops_tbl = pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "offset": pa.array(out["offset"], pa.int32()),
+                "det_idx": pa.array(out["det_idx"], pa.int32()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "text": pa.array(out["text"], pa.string()),
+                "media_ref": pa.array(out["media_ref"], pa.string()),
+                "part": pa.array(out["part"], pa.int32()),
+                "crop": pa.array(out["crop"], pa.binary()),
+                "crop_h": pa.array(out["crop_h"], pa.int32()),
+                "crop_w": pa.array(out["crop_w"], pa.int32()),
+                "wh_ratio": pa.array(out["wh_ratio"], pa.float32()),
+            }
+        )
+        crops_tbl = crops_tbl.select(passthrough.column_names).cast(passthrough.schema)
+        return pa.concat_tables([passthrough, crops_tbl])
+
+
+class Recognize:
+    """Actor: crop rows -> recognized text rows (others pass through).
+
+    Holds the charset/decoder state (the reference loads the char dict once
+    per session, ocr.rs:214-223); processes each batch wh-ratio-sorted and
+    scatters results back by original batch position.
+    """
+
+    def __init__(self, drop_empty: bool = True):
+        self.drop_empty = drop_empty
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        has_crop = pc.is_valid(batch["crop"])
+        passthrough = batch.filter(pc.invert(has_crop)).drop_columns(
+            [n for n, _ in CROP_FIELDS]
+        )
+        crops = batch.filter(has_crop)
+        if len(crops) == 0:
+            return passthrough
+
+        wh = crops["wh_ratio"].to_numpy(zero_copy_only=False)
+        order = np.argsort(wh, kind="stable")  # ocr.rs:733-737
+        blobs = crops["crop"].to_pylist()
+        hs = crops["crop_h"].to_pylist()
+        ws = crops["crop_w"].to_pylist()
+
+        texts = [""] * len(blobs)
+        confs = np.zeros(len(blobs), dtype=np.float32)
+        for j in order:  # batch processed in wh-ratio order
+            arr = np.frombuffer(blobs[j], dtype=np.uint8).reshape(hs[j], ws[j])
+            raw = read_crop_text(arr)
+            logits = encode_ctc_logits(raw)
+            text, conf, _cols = ctc_greedy_decode(logits)
+            texts[j] = text  # scatter back by original index (ocr.rs:797)
+            confs[j] = conf
+
+        rec = crops.drop_columns([n for n, _ in CROP_FIELDS])
+        rec = rec.set_column(
+            rec.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+        )
+        if self.drop_empty:
+            rec = rec.filter(pc.invert(pc.equal(rec["text"], "")))
+        rec = rec.select(passthrough.column_names).cast(passthrough.schema)
+        return pa.concat_tables([passthrough, rec])

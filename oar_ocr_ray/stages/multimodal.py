@@ -1,0 +1,150 @@
+"""Multimodal column stages: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are `binary` columns with metadata columns; each
+transform is an actor-pool `map_batches` stage whose Ray-side plumbing
+(schema, batch size, actor signature, output layout) is real and tested.
+Decoders for formats that need external libs (JPEG, audio codecs, video
+containers) are gated behind import-try and STUBBED with a clearly marked
+NotImplementedError — only PNG (own codec) is decodable in this environment.
+
+Reference analogues: load_image_from_memory (/root/reference/src/utils/image.rs:65),
+resize processors (/root/reference/src/processors/resize_detection.rs:30-240),
+PDF page rasterizer fan-out (/root/reference/src/bin/server/pdf.rs:24-130).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..png_codec import decode_png, encode_png
+
+
+def _decode_any(payload: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt in ("jpeg", "jpg", "webp"):
+        try:
+            import PIL.Image  # noqa: F401  (not present in this environment)
+        except ImportError:
+            raise NotImplementedError(
+                f"{fmt} decode requires an imaging library not present in this "
+                "container; plumbing is real, decoder is stubbed"
+            )
+    raise NotImplementedError(f"unsupported image format: {fmt}")
+
+
+class ImageDecodeResize:
+    """Actor: (payload binary, fmt string) -> resized raster stats.
+
+    Emits (h, w, thumb binary PNG) with the image resized so its long side
+    is `max_side` (nearest-neighbor, numpy) — the DetResizeForTest
+    limit-side policy (Type0, resize_detection.rs) without the /32 snapping.
+    """
+
+    def __init__(self, max_side: int = 256):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        fmts = batch["fmt"].to_pylist() if "fmt" in batch.column_names else ["png"] * len(payloads)
+        hs, ws, thumbs = [], [], []
+        for p, f in zip(payloads, fmts):
+            img = _decode_any(p, f)
+            h, w = img.shape[:2]
+            scale = self.max_side / max(h, w)
+            if scale < 1.0:
+                nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+                yi = (np.arange(nh) / scale).astype(np.int64).clip(0, h - 1)
+                xi = (np.arange(nw) / scale).astype(np.int64).clip(0, w - 1)
+                img = img[yi][:, xi]
+            hs.append(h)
+            ws.append(w)
+            thumbs.append(encode_png(img))
+        out = batch.drop_columns(["payload"])
+        return (
+            out.append_column("height", pa.array(hs, pa.int32()))
+            .append_column("width", pa.array(ws, pa.int32()))
+            .append_column("thumb", pa.array(thumbs, pa.binary()))
+        )
+
+
+class ImageFeatures:
+    """Actor: PNG payload -> fixed-size feature vector (grayscale 4x4 mean
+    pooling + global stats). A deterministic stand-in for an embedding
+    model forward pass; same actor signature as a real one."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for p in batch["payload"].to_pylist():
+            g = decode_png(p)[:, :, 0].astype(np.float32) / 255.0
+            h, w = g.shape
+            gy = np.linspace(0, h, self.grid + 1).astype(int)
+            gx = np.linspace(0, w, self.grid + 1).astype(int)
+            cells = [
+                g[gy[i]:max(gy[i + 1], gy[i] + 1), gx[j]:max(gx[j + 1], gx[j] + 1)].mean()
+                for i in range(self.grid)
+                for j in range(self.grid)
+            ]
+            cells.extend([g.mean(), g.std()])
+            feats.append(np.asarray(cells, dtype=np.float32))
+        return batch.drop_columns(["payload"]).append_column(
+            "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
+        )
+
+
+class FrameSampler:
+    """Actor: 'video' payload -> one row per sampled frame (fan-out).
+
+    Real video decode needs codecs absent here; the payload contract is a
+    concatenation of PNG frames with a frame index (our test fixture), and
+    anything else raises NotImplementedError. Demonstrates the one-row ->
+    N-rows flat_map layout of the PDF rasterizer (pdf.rs:70)."""
+
+    MAGIC = b"FAKEVID1"
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    @classmethod
+    def pack(cls, frames: list[bytes]) -> bytes:
+        import struct
+
+        out = [cls.MAGIC, struct.pack("<I", len(frames))]
+        for f in frames:
+            out.append(struct.pack("<I", len(f)))
+            out.append(f)
+        return b"".join(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        vids, frame_idx, frame_png = [], [], []
+        ids = batch["video_id"].to_pylist()
+        for vid, p in zip(ids, batch["payload"].to_pylist()):
+            if not p.startswith(self.MAGIC):
+                raise NotImplementedError(
+                    "real video containers need codecs not present in this "
+                    "container; decoder stubbed (FAKEVID1 contract only)"
+                )
+            (n,) = struct.unpack_from("<I", p, len(self.MAGIC))
+            pos = len(self.MAGIC) + 4
+            for i in range(n):
+                (ln,) = struct.unpack_from("<I", p, pos)
+                pos += 4
+                frame = p[pos:pos + ln]
+                pos += ln
+                if i % self.every == 0:
+                    vids.append(vid)
+                    frame_idx.append(i)
+                    frame_png.append(frame)
+        return pa.table(
+            {
+                "video_id": pa.array(vids, batch["video_id"].type),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "frame": pa.array(frame_png, pa.binary()),
+            }
+        )

@@ -1,0 +1,65 @@
+"""Deterministic stand-ins for the neural stages (FIXTURES.md F3).
+
+Mirrors the reference's mock-adapter testing pattern
+(/root/reference/src/oarocr/preprocess.rs:157-262): same interfaces and
+policies as the real models, deterministic outputs derived from the synthetic
+image contract in oar_ocr_ray.fixtures. The surrounding pipeline code (crop,
+sort, CTC decode, orientation correction) is the REAL implementation — only
+the "neural" classification/detection/recognition cores are stand-ins.
+
+In production these three functions are replaced by ONNX-Runtime sessions
+(PP-LCNet orientation / DB detection / SVTR-CTC recognition) held in the same
+actor classes; the stage graph does not change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .fixtures import TAG_BASE, TAG_STEP
+from .geometry import connected_component_boxes
+
+
+def classify_orientation(img: np.ndarray) -> int:
+    """Orientation class from the tag pixel. Classes match the reference
+    policy (/root/reference/src/oarocr/preprocess.rs:101-143):
+    0=0°, 1=90°, 2=180°, 3=270°."""
+    v = int(img[0, 0] if img.ndim == 2 else img[0, 0, 0])
+    cls = (v - TAG_BASE) // TAG_STEP
+    return cls if 0 <= cls <= 3 else 0
+
+
+def correct_orientation(img: np.ndarray, class_id: int) -> np.ndarray:
+    """Inverse-rotate to upright (preprocess.rs:129-134: 90°->rotate270,
+    180°->rotate180, 270°->rotate90). np.rot90 k=+1 is CCW, so the
+    correction is rot90(img, k=class_id)."""
+    if class_id % 4 == 0:
+        return img
+    return np.ascontiguousarray(np.rot90(img, k=class_id % 4))
+
+
+def detect_boxes(img: np.ndarray, min_area: int = 9, max_candidates: int = 1000) -> np.ndarray:
+    """'DB detection' stand-in: binarize (dark < 128) + connected-component
+    boxes — the deterministic analogue of heatmap binarization + contour
+    extraction (/root/reference/src/processors/db_postprocess.rs). The 1-px
+    orientation tag is removed by the min_area filter. Returns (N,4) int
+    AABBs in arbitrary order (the pipeline applies sort_quad_boxes)."""
+    gray = img if img.ndim == 2 else img[:, :, 0]
+    return connected_component_boxes(gray < 128, min_area=min_area, max_candidates=max_candidates)
+
+
+def read_crop_text(crop: np.ndarray) -> str:
+    """'Recognition core' stand-in: decode the pixel-encoded line text from
+    an upright crop (fixtures contract: row 1 = [len][ord(char)...]).
+    Returns "" on any contract violation (treated like a low-score empty
+    prediction and filtered, reference structure.rs:2200)."""
+    gray = crop if crop.ndim == 2 else crop[:, :, 0]
+    if gray.shape[0] < 2 or gray.shape[1] < 2:
+        return ""
+    n = int(gray[1, 0])
+    if not (1 <= n <= 31) or 1 + n > gray.shape[1]:
+        return ""
+    vals = gray[1, 1:1 + n]
+    if ((vals < 32) | (vals > 126)).any():
+        return ""
+    return bytes(vals.tolist()).decode("ascii")

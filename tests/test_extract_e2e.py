@@ -1,0 +1,87 @@
+"""End-to-end flagship pipeline vs golden oracle — the north-rule invariant:
+span-sequence equality of (kind, text, media_ref, order) per document."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from oar_ocr_ray.fixtures import write_corpus
+from oar_ocr_ray.pipelines.extract import build_extract_pipeline, read_output, run_extract
+
+N_DOCS = 250
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    return write_corpus(str(d), N_DOCS, seed=42, n_doc_files=6)
+
+
+def spans_by_doc(table):
+    out = {}
+    for row in table.to_pylist():
+        out[row["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["spans"]
+        ]
+    return out
+
+
+def assert_matches_golden(result_table, golden_path, n_docs):
+    golden = spans_by_doc(pq.read_table(golden_path))
+    got = spans_by_doc(result_table)
+    assert len(got) == n_docs == len(golden)
+    mismatches = [d for d in golden if got.get(d) != golden[d]]
+    if mismatches:
+        d = mismatches[0]
+        raise AssertionError(
+            f"{len(mismatches)} docs mismatch; first={d}\n"
+            f"golden={golden[d][:6]}\n got={got.get(d, [])[:6]}"
+        )
+
+
+def test_pipeline_matches_golden(ray_session, corpus):
+    ds = build_extract_pipeline(
+        corpus["doc_files"], corpus["media_dir"], n_parts=16,
+        det_concurrency=1, rec_concurrency=1,
+    )
+    result = ds.to_arrow_refs()
+    import pyarrow as pa
+    import ray
+
+    table = pa.concat_tables([ray.get(r) for r in result])
+    assert_matches_golden(table, corpus["golden_path"], N_DOCS)
+
+
+def test_run_extract_resumable(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    # simulate a killed run: only 1 shard gets committed
+    r1 = run_extract(
+        corpus["doc_files"], corpus["media_dir"], out,
+        n_shards=3, max_shards=1, n_parts=8, det_concurrency=1, rec_concurrency=1,
+    )
+    assert r1["shards_done"] == 1
+    # resume: finishes the rest, skipping the committed shard
+    r2 = run_extract(
+        corpus["doc_files"], corpus["media_dir"], out,
+        n_shards=3, n_parts=8, det_concurrency=1, rec_concurrency=1,
+    )
+    assert r2["shards_done"] == 3
+    assert r2["shards_processed_now"] == 2  # shard 0 was skipped
+    table = read_output(out)
+    assert_matches_golden(table, corpus["golden_path"], N_DOCS)
+    # idempotent: a third run does nothing
+    r3 = run_extract(
+        corpus["doc_files"], corpus["media_dir"], out,
+        n_shards=3, n_parts=8,
+    )
+    assert r3["shards_processed_now"] == 0
+
+
+def test_output_schema(ray_session, corpus, tmp_path):
+    ds = build_extract_pipeline(
+        corpus["doc_files"][:1], corpus["media_dir"], n_parts=4,
+        det_concurrency=1, rec_concurrency=1,
+    )
+    t = ds.limit(5).to_pandas()
+    assert list(t.columns) == ["doc_id", "spans"]

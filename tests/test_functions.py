@@ -1,0 +1,183 @@
+"""Unit tests for training-data operators (pure pandas/numpy — no Ray)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from oar_ocr_ray.functions.ann import BruteForceScorer, HyperplaneLsh, topk_reduce
+from oar_ocr_ray.functions.dedup import (
+    MinHasher,
+    content_hash,
+    hamming64,
+    jaccard,
+    shingle_set,
+    simhash64,
+    simhash_batch,
+)
+from oar_ocr_ray.functions.text_analysis import (
+    LangId,
+    bpe_ish_token_count,
+    fingerprint,
+    quality_score,
+    token_count,
+)
+from oar_ocr_ray.functions.windows import sessionize, tumbling_window
+
+
+def docs(*texts):
+    return pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)})
+
+
+def test_token_count():
+    out = token_count(docs("a b  c", "", "  ", "one"))
+    assert out["n_tokens"].tolist() == [3, 0, 0, 1]
+
+
+def test_bpe_ish():
+    out = bpe_ish_token_count(docs("ab12,cd!"))
+    # ab | 12 | , | cd | !
+    assert out["n_bpe_tokens"].tolist() == [5]
+
+
+def test_quality_score():
+    out = quality_score(docs("ab 1!"))
+    r = out.iloc[0]
+    assert r["n_chars_m"] == 5
+    assert r["alpha_ratio"] == pytest.approx(2 / 5)
+    assert r["digit_ratio"] == pytest.approx(1 / 5)
+    assert r["punct_ratio"] == pytest.approx(1 / 5)
+    assert r["space_ratio"] == pytest.approx(1 / 5)
+
+
+def test_lang_id():
+    li = LangId()
+    out = li(docs("the cat and the dog is in the house", "der hund ist nicht ein tier", "zzz qqq"))
+    assert out["pred_lang"].tolist()[:2] == ["en", "de"]
+    assert out["pred_lang"].tolist()[2] == "und"
+
+
+def test_fingerprint_deterministic():
+    a = fingerprint(docs("hello world, this is text"))
+    b = fingerprint(docs("hello world, this is text"))
+    assert a["fp_crc"].tolist() == b["fp_crc"].tolist()
+    assert a["fp_min_shingle"].tolist() == b["fp_min_shingle"].tolist()
+
+
+def test_content_hash_normalizes_ws_and_case():
+    out = content_hash(docs("Hello   World", "hello world"))
+    assert out["content_hash"].iloc[0] == out["content_hash"].iloc[1]
+
+
+def test_shingles_and_jaccard():
+    a = shingle_set("the quick brown fox jumps", 3)
+    b = shingle_set("the quick brown fox leaps", 3)
+    assert 0 < jaccard(a, b) < 1
+    assert jaccard(a, a) == 1.0
+    assert jaccard(np.array([], dtype=np.int64), np.array([], dtype=np.int64)) == 1.0
+
+
+def test_minhash_similarity_correlates():
+    mh = MinHasher(num_perm=64, bands=16)
+    s1 = mh.signature("the quick brown fox jumps over the lazy dog again and again")
+    s2 = mh.signature("the quick brown fox jumps over the lazy dog again and again today")
+    s3 = mh.signature("completely different content about ray data pipelines")
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > sim13
+    # near-dups share at least one band
+    b1, b2 = mh.band_hashes(s1), mh.band_hashes(s2)
+    assert (b1 == b2).any()
+
+
+def test_simhash_hamming():
+    a = simhash64("the quick brown fox jumps over the lazy dog " * 3)
+    b = simhash64("the quick brown fox jumps over the lazy dog " * 3 + "extra")
+    c = simhash64("unrelated words entirely about something else completely")
+    assert hamming64(a, b) < hamming64(a, c)
+
+
+def test_simhash_batch_quadrants():
+    out = simhash_batch(docs("some text here", "some text here"))
+    assert out["simhash"].iloc[0] == out["simhash"].iloc[1]
+    for q in range(4):
+        v = out[f"quad{q}"]
+        assert (0 <= v).all() and (v < 65536).all()
+
+
+def test_brute_force_topk():
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((50, 8))
+    df = pd.DataFrame({"vec_id": np.arange(50), "embedding": list(m)})
+    q = {"ids": np.array([0, 1]), "matrix": m[:2]}
+    scorer = BruteForceScorer(q, k=5)
+    part = scorer(df)
+    top = topk_reduce(part, 5)
+    # self-similarity must rank first with score 1.0
+    for qid in (0, 1):
+        rows = top[top["query_id"] == qid]
+        assert len(rows) == 5
+        assert rows.iloc[0]["vec_id"] == qid
+        assert rows.iloc[0]["score"] == pytest.approx(1.0)
+
+
+def test_lsh_buckets_deterministic():
+    lsh = HyperplaneLsh(8, nbits=6)
+    m = np.random.default_rng(1).standard_normal((20, 8))
+    b1, b2 = lsh.bucket(m), lsh.bucket(m)
+    assert (b1 == b2).all()
+    assert (b1 < 2 ** 6).all()
+
+
+def _events():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:05", "2024-01-01 00:20", "2024-01-01 01:10",
+         "2024-01-01 02:00", "2024-01-01 02:45"]
+    )
+    return pd.DataFrame(
+        {"event_id": range(5), "ts": ts, "user_id": [1] * 5,
+         "event_type": ["a", "a", "a", "b", "b"], "value": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+
+
+def test_tumbling_window():
+    out = tumbling_window(_events(), 60)
+    a = out[out["event_type"] == "a"].sort_values("window_start")
+    assert a["n_events"].tolist() == [2, 1]
+    assert a["sum_value"].tolist() == [3.0, 3.0]
+
+
+def test_sessionize():
+    out = sessionize(_events(), gap_minutes=30)
+    # gaps: 15m (same), 50m (new), 50m (new), 45m (new) -> 4 sessions
+    assert len(out) == 4
+    assert out["n_events"].tolist() == [2, 1, 1, 1]
+
+
+def test_multimodal_stages():
+    import pyarrow as pa
+
+    from oar_ocr_ray.png_codec import encode_png
+    from oar_ocr_ray.stages.multimodal import FrameSampler, ImageDecodeResize, ImageFeatures
+
+    img = np.full((40, 60, 3), 128, dtype=np.uint8)
+    png = encode_png(img)
+    batch = pa.table({"img_id": [1], "payload": [png], "fmt": ["png"]})
+    out = ImageDecodeResize(max_side=30)(batch)
+    assert out["height"][0].as_py() == 40 and out["width"][0].as_py() == 60
+    from oar_ocr_ray.png_codec import decode_png
+
+    thumb = decode_png(out["thumb"][0].as_py())
+    assert max(thumb.shape[:2]) == 30
+
+    fb = ImageFeatures()(pa.table({"img_id": [1], "payload": [png]}))
+    feats = fb["features"][0].as_py()
+    assert len(feats) == 18 and abs(feats[0] - 128 / 255) < 1e-3
+
+    vid = FrameSampler.pack([png, png, png, png, png])
+    frames = FrameSampler(every=2)(pa.table({"video_id": [7], "payload": [vid]}))
+    assert frames["frame_idx"].to_pylist() == [0, 2, 4]
+
+    with pytest.raises(NotImplementedError):
+        ImageDecodeResize()(pa.table({"img_id": [1], "payload": [b"xx"], "fmt": ["jpeg"]}))
+    with pytest.raises(NotImplementedError):
+        FrameSampler()(pa.table({"video_id": [1], "payload": [b"not a video"]}))

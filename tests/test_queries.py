@@ -1,0 +1,93 @@
+"""Query-vs-DuckDB-oracle harness — mirrors the driver's correctness gate
+(row count + schema + order-insensitive value compare, columns sorted by
+name) at sf0.001 so mismatches surface before the driver runs at sf0.01."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name, ray_df, sql_df):
+    a, b = normalize(ray_df), normalize(sql_df)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} != {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating):
+            ok = np.allclose(av, bv.astype(av.dtype), atol=1e-6, equal_nan=True)
+        else:
+            ok = (av == bv).all()
+        assert ok, f"{name}: column {c} differs\n{a[c].head()}\nvs\n{b[c].head()}"
+
+
+def oracle_pairs():
+    from oar_ocr_ray.queries import ORACLE_SQL, QUERIES
+
+    return sorted(ORACLE_SQL.keys()), QUERIES
+
+
+@pytest.mark.parametrize("name", [
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue", "q6_revenue",
+    "orders_per_customer_topk", "filter_highvalue_orders", "events_tumbling",
+    "events_sessionize", "token_counts", "quality_scores", "word_topk",
+    "dedup_exact", "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
+    "embedding_label_norms",
+])
+def test_query_matches_oracle(ray_session, duck, name):
+    from oar_ocr_ray.queries import ORACLE_SQL, QUERIES
+
+    ray_df = to_pandas(QUERIES[name](SF_DIR))
+    sql_df = duck.execute(ORACLE_SQL[name]).fetch_df()
+    compare(name, ray_df, sql_df)
+
+
+@pytest.mark.parametrize("name", [
+    "lang_id", "fingerprints", "minhash_bands", "simhash_buckets",
+    "minhash_dup_pairs", "ann_lsh_topk",
+])
+def test_rows_only_queries_run(ray_session, name):
+    from oar_ocr_ray.queries import QUERIES
+
+    df = to_pandas(QUERIES[name](SF_DIR))
+    assert df is not None and len(df.columns) > 0
