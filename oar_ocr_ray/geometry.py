@@ -147,6 +147,20 @@ def get_rotate_crop_image(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
     w = int(round(max(np.linalg.norm(q[0] - q[1]), np.linalg.norm(q[3] - q[2]))))
     h = int(round(max(np.linalg.norm(q[0] - q[3]), np.linalg.norm(q[1] - q[2]))))
     w, h = max(w, 1), max(h, 1)
+    # fast path: axis-aligned integer rectangle -> plain slice (the common
+    # case for detector AABBs); bilinear warp would reproduce it exactly
+    if (
+        q[0, 0] == q[3, 0] and q[1, 0] == q[2, 0]
+        and q[0, 1] == q[1, 1] and q[2, 1] == q[3, 1]
+        and float(q[0, 0]).is_integer() and float(q[0, 1]).is_integer()
+        and float(q[2, 0]).is_integer() and float(q[2, 1]).is_integer()
+    ):
+        x0, y0 = int(q[0, 0]), int(q[0, 1])
+        crop = img[y0:y0 + h, x0:x0 + w].copy()
+        if crop.shape[0] == h and crop.shape[1] == w:
+            if h >= 1.5 * w:
+                crop = np.ascontiguousarray(np.rot90(crop, k=-1))
+            return crop
     dst = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float64)
     m_inv = perspective_matrix(dst, q)  # dst -> src mapping
 

@@ -42,27 +42,72 @@ def build_extract_pipeline(
     rec_concurrency: int = 2,
     det_batch_size: int = 64,
     rec_batch_size: int = 512,
+    stage_mode: str = "tasks",
 ) -> "ray.data.Dataset":
-    """Build the lazy Dataset DAG (nothing executes until consumed)."""
-    ds = ray.data.read_parquet(doc_files, columns=["doc_id", "spans"])
+    """Build the lazy Dataset DAG (nothing executes until consumed).
+
+    stage_mode="tasks" (default): model stages run as stateless tasks with a
+    per-worker cached stage instance — elastic parallelism on the warm
+    worker pool; right when stage state is cheap (deterministic stubs).
+    stage_mode="actors": dedicated actor pools with reserved CPUs — right
+    when state is heavyweight (real ONNX sessions); concurrency knobs apply.
+    """
+    from ..stages.media import SharedMediaStore, cached_stage
+
+    media_refs = _media_refs_for(media_dir)
+    ds = ray.data.read_parquet(
+        doc_files, columns=["doc_id", "spans"], override_num_blocks=max(64, n_parts * 2)
+    )
     ds = ds.map_batches(make_explode_spans(n_parts), batch_format="pyarrow")
     ds = ds.map_batches(strip_text_spans, batch_format="pyarrow")
-    ds = ds.map_batches(
-        MediaDetect,
-        fn_constructor_kwargs={"media_dir": media_dir},
-        batch_format="pyarrow",
-        batch_size=det_batch_size,
-        concurrency=det_concurrency,
-        num_cpus=1,
-    )
-    ds = ds.map_batches(
-        Recognize,
-        batch_format="pyarrow",
-        batch_size=rec_batch_size,
-        concurrency=rec_concurrency,
-        num_cpus=1,
-    )
-    return ds.groupby("part").map_groups(rebuild_partition, batch_format="pyarrow")
+    if stage_mode == "actors":
+        ds = ds.map_batches(
+            MediaDetect,
+            fn_constructor_kwargs={"media_dir": media_dir},
+            batch_format="pyarrow",
+            batch_size=det_batch_size,
+            concurrency=det_concurrency,
+            num_cpus=1,
+        )
+        ds = ds.map_batches(
+            Recognize,
+            batch_format="pyarrow",
+            batch_size=rec_batch_size,
+            concurrency=rec_concurrency,
+            num_cpus=1,
+        )
+    else:
+        ds = ds.map_batches(
+            cached_stage(MediaDetect, media_refs=media_refs, cache_token=media_dir),
+            batch_format="pyarrow",
+            batch_size=det_batch_size,
+        )
+        ds = ds.map_batches(
+            cached_stage(Recognize),
+            batch_format="pyarrow",
+            batch_size=rec_batch_size,
+        )
+    # combiner before the shuffle: pack per-doc partial span lists per block
+    # so the all-to-all moves ~one row per doc, not one per span
+    from ..stages.reassemble import merge_partials, pack_partial
+
+    ds = ds.map_batches(pack_partial, batch_format="pyarrow")
+    return ds.groupby("part").map_groups(merge_partials, batch_format="pyarrow")
+
+
+_MEDIA_REFS_CACHE: dict[str, dict] = {}
+
+
+def _media_refs_for(media_dir: str) -> dict:
+    """Bucket tables shared via the object store, put once per driver
+    (SharedMediaStore): zero-copy reads in every worker."""
+    from ..stages.media import SharedMediaStore
+
+    refs = _MEDIA_REFS_CACHE.get(media_dir)
+    if refs is None:
+        refs = SharedMediaStore.put_buckets(media_dir)
+        _MEDIA_REFS_CACHE[media_dir] = refs
+    return refs
 
 
 def run_extract(

@@ -40,13 +40,22 @@ def _read(sf_dir: str, table: str, columns=None):
 # TPC-H-style relational queries
 # ---------------------------------------------------------------------------
 
+def _reduce_small(partials, keys: list[str], sums: list[str]) -> pd.DataFrame:
+    """Driver-side final reduce for LOW-CARDINALITY group keys: the partials
+    (one row per key per batch) are tiny, so shipping them to the driver and
+    finishing with one pandas groupby avoids a pointless all-to-all exchange.
+    High-cardinality keys (doc hashes, customer ids, words) keep the
+    distributed groupby path."""
+    df = partials.to_pandas()
+    if len(df) == 0:
+        return df
+    return df.groupby(keys, as_index=False, sort=False)[sums].sum()
+
+
 def q1_pricing_summary(sf_dir: str):
     """Grouped aggregate with in-batch partial aggregation (combiner) —
     reference analogue: per-batch partial max_wh_ratio (crnn.rs:70-77)
-    generalized to sums/counts."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
+    generalized to sums/counts. Final reduce is driver-side (6 groups)."""
     cutoff = np.datetime64("1998-09-02")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -69,22 +78,17 @@ def q1_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
     partials = ds.map_batches(partial, batch_format="pandas")
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("count_order", alias_name="count_order"),
+    df = _reduce_small(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"],
     )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
-        df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            df[c] = df[c].round(2)
-        df["count_order"] = df["count_order"].astype("int64")
-        return df
-
-    return out.map_batches(finalize, batch_format="pandas")
+    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
+    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        df[c] = df[c].round(2)
+    df["count_order"] = df["count_order"].astype("int64")
+    return df
 
 
 Q1_SQL = """
@@ -204,15 +208,10 @@ def q5_nation_revenue(sf_dir: str):
         ].sum()
         return g.rename(columns={"rev": "revenue"})
 
-    agg = joined.map_batches(partial, batch_format="pandas").groupby("n_name").aggregate(
-        Sum("revenue", alias_name="revenue")
-    )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["revenue"] = df["revenue"].round(2)
-        return df
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    partials = joined.map_batches(partial, batch_format="pandas")
+    df = _reduce_small(partials, ["n_name"], ["revenue"])
+    df["revenue"] = df["revenue"].round(2)
+    return df
 
 
 Q5_SQL = """
@@ -279,17 +278,10 @@ def events_tumbling(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
     partials = ds.map_batches(lambda df: tumbling_window(df, 60), batch_format="pandas")
-    agg = partials.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
-    )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_events"] = df["n_events"].astype("int64")
-        df["sum_value"] = df["sum_value"].round(2)
-        return df
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    df = _reduce_small(partials, ["event_type", "window_start"], ["n_events", "sum_value"])
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = df["sum_value"].round(2)
+    return df
 
 
 EVENTS_TUMBLING_SQL = """
@@ -558,21 +550,14 @@ def embedding_label_norms(sf_dir: str):
         return g
 
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
-    agg = ds.map_batches(partial, batch_format="pandas").groupby("label").aggregate(
-        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    df = _reduce_small(ds.map_batches(partial, batch_format="pandas"), ["label"], ["s", "n"])
+    return pd.DataFrame(
+        {
+            "label": df["label"].astype("int32"),
+            "n_vecs": df["n"].astype("int64"),
+            "avg_norm": (df["s"] / df["n"]).round(6),
+        }
     )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "label": df["label"].astype("int32"),
-                "n_vecs": df["n"].astype("int64"),
-                "avg_norm": (df["s"] / df["n"]).round(6),
-            }
-        )
-        return out
-
-    return agg.map_batches(finalize, batch_format="pandas")
 
 
 EMB_NORMS_SQL = """

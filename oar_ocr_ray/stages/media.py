@@ -50,6 +50,41 @@ CROP_FIELDS = [
     ("wh_ratio", pa.float32()),
 ]
 
+_STAGE_CACHE: dict = {}
+
+
+def cached_stage(cls, **kwargs):
+    """Wrap a stateful stage class as a plain function with one cached
+    instance per worker process.
+
+    Trade-off vs `map_batches(Cls, concurrency=N)` actor pools: Ray Data
+    actor pools spawn FRESH worker processes per execution (python import +
+    init cost lands inside the job), while plain tasks reuse the warm
+    worker pool and scale elastically with available CPUs. For cheap state
+    (this stub's store handle, compiled regexes) tasks-with-cached-instance
+    wins; for heavyweight state (an ONNX session pinned to fixed resources)
+    actor pools win — build_extract_pipeline exposes both via stage_mode.
+    """
+    cache_token = kwargs.pop("cache_token", None)
+    key = (
+        cls.__module__,
+        cls.__qualname__,
+        cache_token
+        if cache_token is not None
+        else tuple(sorted((k, v) for k, v in kwargs.items() if isinstance(v, (str, int, float, bool)))),
+    )
+
+    def fn(batch):
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            inst = cls(**kwargs)
+            _STAGE_CACHE[key] = inst
+        return inst(batch)
+
+    fn.__name__ = cls.__name__
+    fn.__qualname__ = cls.__name__
+    return fn
+
 
 def _with_null_crop_cols(batch: pa.Table) -> pa.Table:
     n = len(batch)
@@ -96,11 +131,60 @@ class MediaStore:
         return self._load_bucket(self._bucket_of(ref)).get(ref)
 
 
+class SharedMediaStore:
+    """Media store backed by per-bucket Arrow tables in the Ray object store.
+
+    The driver `ray.put`s each bucket table ONCE; every worker maps it
+    zero-copy from shared memory (binary column buffers are not copied) and
+    builds only a small ref->row index. This is the single-node analogue of
+    a node-local blob cache: no per-worker parquet decode, no heap
+    duplication, no shuffle of pixel payloads.
+    """
+
+    def __init__(self, bucket_refs: dict[int, "object"]):
+        self.bucket_refs = bucket_refs
+        self._tables: dict[int, object] = {}
+        self._index: dict[int, dict[str, int]] = {}
+
+    @staticmethod
+    def put_buckets(media_dir: str) -> dict[int, "object"]:
+        import ray
+
+        refs = {}
+        for f in sorted(os.listdir(media_dir)):
+            if f.endswith(".parquet"):
+                b = int(f.split("-")[1].split(".")[0])
+                t = pq.read_table(os.path.join(media_dir, f), columns=["media_ref", "png"])
+                refs[b] = ray.put(t.combine_chunks())
+        return refs
+
+    def get(self, ref: str) -> bytes | None:
+        import ray
+        import zlib
+
+        b = zlib.crc32(ref.encode()) % len(self.bucket_refs)
+        if b not in self._tables:
+            t = ray.get(self.bucket_refs[b])
+            self._tables[b] = t
+            self._index[b] = {r: i for i, r in enumerate(t["media_ref"].to_pylist())}
+        i = self._index[b].get(ref)
+        return self._tables[b]["png"][i].as_py() if i is not None else None
+
+
 class MediaDetect:
     """Actor: media span rows -> crop rows (others pass through)."""
 
-    def __init__(self, media_dir: str, min_area: int = 9, max_cached_buckets: int = 64):
-        self.store = MediaStore(media_dir, max_cached_buckets)
+    def __init__(
+        self,
+        media_dir: str | None = None,
+        media_refs: dict | None = None,
+        min_area: int = 9,
+        max_cached_buckets: int = 64,
+    ):
+        if media_refs is not None:
+            self.store = SharedMediaStore(media_refs)
+        else:
+            self.store = MediaStore(media_dir, max_cached_buckets)
         self.min_area = min_area
         self.missing_media = 0  # lost blobs skipped, not fatal (ocr.rs:510-523 precedent)
 

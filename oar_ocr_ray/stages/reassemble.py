@@ -68,3 +68,74 @@ def rebuild_partition(table: pa.Table) -> pa.Table:
     spans_list = pa.ListArray.from_arrays(offsets, span_struct)
     doc_ids = t["doc_id"].take(pa.array(starts))
     return pa.table({"doc_id": doc_ids, "spans": spans_list})
+
+
+# ---------------------------------------------------------------------------
+# Combiner variant: pack per-doc partial lists BEFORE the shuffle
+# ---------------------------------------------------------------------------
+
+PARTIAL_SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+        ("det_idx", pa.int32()),
+    ]
+)
+
+
+def pack_partial(table: pa.Table) -> pa.Table:
+    """Within-block combiner: span rows -> one row per (doc, block) with a
+    packed partial span list. The reassembly shuffle then moves ~n_docs tiny
+    rows instead of every span row — the aggregation-pushdown pattern
+    applied to sequence reconstruction. Vectorized (sort + run-length)."""
+    if len(table) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.string()), "part": pa.array([], pa.int32()),
+             "spans_part": pa.array([], pa.list_(PARTIAL_SPAN_STRUCT))}
+        )
+    idx = pc.sort_indices(table, sort_keys=[("doc_id", "ascending")])
+    t = table.take(idx).combine_chunks()
+    doc = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+    n = len(doc)
+    starts = np.r_[0, np.flatnonzero(doc[1:] != doc[:-1]) + 1]
+    struct_arr = pa.StructArray.from_arrays(
+        [
+            t["kind"].combine_chunks(),
+            t["text"].combine_chunks(),
+            t["media_ref"].combine_chunks(),
+            t["offset"].combine_chunks().cast(pa.int32()),
+            t["det_idx"].combine_chunks().cast(pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset", "det_idx"],
+    )
+    offsets = pa.array(np.r_[starts, n].astype(np.int32))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].take(pa.array(starts)),
+            "part": t["part"].take(pa.array(starts)),
+            "spans_part": pa.ListArray.from_arrays(offsets, struct_arr),
+        }
+    )
+
+
+def merge_partials(table: pa.Table) -> pa.Table:
+    """Per-partition final merge: unpack partial lists back to span rows
+    (Arrow-vectorized) and run the standard rebuild."""
+    if len(table) == 0:
+        return rebuild_partition(table)
+    spans = table["spans_part"].combine_chunks()
+    parent = pc.list_parent_indices(spans)
+    flat = pc.list_flatten(spans)
+    rows = pa.table(
+        {
+            "doc_id": pc.take(table["doc_id"].combine_chunks(), parent),
+            "offset": flat.field("offset"),
+            "det_idx": flat.field("det_idx"),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+        }
+    )
+    return rebuild_partition(rows)
