@@ -673,6 +673,67 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nbits: int = 8):
     return topk_reduce(partials.to_pandas(), k)
 
 
+
+
+def structure_markdown(sf_dir: str):
+    """Rows-only: per-media-page structure stitch + markdown export over the
+    interleaved corpus derived from this sf_dir (detect -> recognize ->
+    per-page stitch_page with XY-cut order -> page_to_markdown)."""
+    import ray.data
+
+    from .stages.explode import make_explode_spans
+    from .stages.media import MediaDetect, Recognize, cached_stage
+    from .stages.text import strip_text_spans
+
+    import importlib.util as _il
+    spec = _il.spec_from_file_location(
+        "_entry", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__ray_entry__.py")
+    )
+    entry_mod = _il.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    meta = entry_mod._interleaved_corpus(sf_dir)
+
+    from .pipelines.extract import _media_refs_for
+
+    refs = _media_refs_for(meta["media_dir"])
+    ds = ray.data.read_parquet(meta["doc_files"], columns=["doc_id", "spans"])
+    ds = ds.map_batches(make_explode_spans(32), batch_format="pyarrow")
+    ds = ds.map_batches(strip_text_spans, batch_format="pyarrow")
+    ds = ds.map_batches(
+        cached_stage(MediaDetect, media_refs=refs, cache_token=meta["media_dir"]),
+        batch_format="pyarrow", batch_size=64,
+    )
+    ds = ds.map_batches(cached_stage(Recognize), batch_format="pyarrow", batch_size=512)
+
+    import pyarrow.compute as pc
+
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["kind"], "image"), pc.is_valid(t["bx0"]))),
+        batch_format="pyarrow",
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        from .structure import page_to_markdown, stitch_page
+
+        df = t.to_pandas()
+        out = {"media_ref": [], "n_elements": [], "markdown": []}
+        for ref, g in df.groupby("media_ref", sort=True):
+            boxes = g[["bx0", "by0", "bx1", "by1"]].to_numpy(dtype=float)
+            elems = stitch_page(
+                np.zeros((0, 4)), [], np.zeros(0), boxes, g["text"].tolist()
+            )
+            out["media_ref"].append(ref)
+            out["n_elements"].append(len(elems))
+            out["markdown"].append(page_to_markdown(elems))
+        return pa.table(
+            {"media_ref": pa.array(out["media_ref"], pa.string()),
+             "n_elements": pa.array(out["n_elements"], pa.int32()),
+             "markdown": pa.array(out["markdown"], pa.string())}
+        )
+
+    return ds.groupby("part").map_groups(per_part, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -701,6 +762,7 @@ QUERIES = {
     "minhash_dup_pairs": minhash_dup_pairs,
     "simhash_buckets": simhash_buckets,
     "ann_lsh_topk": ann_lsh_topk,
+    "structure_markdown": structure_markdown,
 }
 
 ORACLE_SQL = {

@@ -50,6 +50,15 @@ CROP_FIELDS = [
     ("wh_ratio", pa.float32()),
 ]
 
+# detection geometry kept past recognition (reference TextRegion carries its
+# bbox, result.rs:17-42); null on non-media rows
+BBOX_FIELDS = [
+    ("bx0", pa.float32()),
+    ("by0", pa.float32()),
+    ("bx1", pa.float32()),
+    ("by1", pa.float32()),
+]
+
 _STAGE_CACHE: dict = {}
 
 
@@ -88,7 +97,7 @@ def cached_stage(cls, **kwargs):
 
 def _with_null_crop_cols(batch: pa.Table) -> pa.Table:
     n = len(batch)
-    for name, typ in CROP_FIELDS:
+    for name, typ in CROP_FIELDS + BBOX_FIELDS:
         if name not in batch.column_names:
             batch = batch.append_column(name, pa.nulls(n, type=typ))
     return batch
@@ -201,7 +210,8 @@ class MediaDetect:
         parts = img_rows["part"].to_pylist()
 
         out = {k: [] for k in ("doc_id", "offset", "det_idx", "kind", "text",
-                               "media_ref", "part", "crop", "crop_h", "crop_w", "wh_ratio")}
+                               "media_ref", "part", "crop", "crop_h", "crop_w", "wh_ratio",
+                               "bx0", "by0", "bx1", "by1")}
         for doc_id, offset, ref, part in zip(doc_ids, offsets, refs, parts):
             payload = self.store.get(ref)
             if payload is None:
@@ -231,6 +241,10 @@ class MediaDetect:
                 out["crop_h"].append(h)
                 out["crop_w"].append(w)
                 out["wh_ratio"].append(w / max(h, 1))
+                out["bx0"].append(float(boxes[j][0]))
+                out["by0"].append(float(boxes[j][1]))
+                out["bx1"].append(float(boxes[j][2]))
+                out["by1"].append(float(boxes[j][3]))
 
         crops_tbl = pa.table(
             {
@@ -245,6 +259,10 @@ class MediaDetect:
                 "crop_h": pa.array(out["crop_h"], pa.int32()),
                 "crop_w": pa.array(out["crop_w"], pa.int32()),
                 "wh_ratio": pa.array(out["wh_ratio"], pa.float32()),
+                "bx0": pa.array(out["bx0"], pa.float32()),
+                "by0": pa.array(out["by0"], pa.float32()),
+                "bx1": pa.array(out["bx1"], pa.float32()),
+                "by1": pa.array(out["by1"], pa.float32()),
             }
         )
         crops_tbl = crops_tbl.select(passthrough.column_names).cast(passthrough.schema)

