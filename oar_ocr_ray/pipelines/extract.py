@@ -146,19 +146,26 @@ def run_extract(
         ds.write_parquet(tmp)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        n_docs = sum(
-            pq.read_metadata(os.path.join(final, f)).num_rows
-            for f in os.listdir(final)
-            if f.endswith(".parquet")
-        )
+        n_docs = 0
+        n_spans = 0
+        for f in os.listdir(final):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(final, f)
+            n_docs += pq.read_metadata(path).num_rows
+            # per-partition metrics (north rule): span counts from list offsets
+            spans_col = pq.read_table(path, columns=["spans"])["spans"].combine_chunks()
+            n_spans += int(pc.sum(pc.list_value_length(spans_col)).as_py() or 0)
         manifest.commit(
             sid,
             {
                 "inputs": files,
                 "output": final,
                 "docs": n_docs,
+                "spans": n_spans,
                 "wall_sec": round(time.perf_counter() - t0, 3),
             },
         )

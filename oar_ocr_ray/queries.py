@@ -734,6 +734,57 @@ def structure_markdown(sf_dir: str):
     return ds.groupby("part").map_groups(per_part, batch_format="pyarrow")
 
 
+
+
+def distinct_sources(sf_dir: str):
+    """Set op: distinct values of a column via Dataset.unique (shuffle)."""
+    import ray.data
+
+    ds = _read(sf_dir, "documents", ["source"])
+    vals = sorted(ds.unique("source"))
+    return pd.DataFrame({"source": vals})
+
+
+DISTINCT_SOURCES_SQL = "SELECT DISTINCT source FROM documents"
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.98):
+    """Rows-only: embedding-cosine near-duplicate pairs via hyperplane-LSH
+    bucketing (candidates share a bucket) + exact cosine verify."""
+    from .functions.ann import HyperplaneLsh, _normalize, embedding_matrix
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        dim = len(df["embedding"].iloc[0]) if len(df) else 0
+        lsh = HyperplaneLsh(dim or 1, nbits=10)
+        out = pd.DataFrame({"vec_id": df["vec_id"].to_numpy()})
+        out["bucket"] = lsh.bucket(_normalize(embedding_matrix(df))) if len(df) else []
+        out["embedding"] = df["embedding"].to_numpy()
+        return out
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        m = _normalize(embedding_matrix(g))
+        ids = g["vec_id"].to_numpy()
+        sim = m @ m.T
+        iu, ju = np.triu_indices(len(g), k=1)
+        keep = sim[iu, ju] >= threshold
+        return pd.DataFrame(
+            {"vec_a": np.minimum(ids[iu[keep]], ids[ju[keep]]),
+             "vec_b": np.maximum(ids[iu[keep]], ids[ju[keep]]),
+             "cosine": np.round(sim[iu, ju][keep], 6)}
+        )
+
+    out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    df = out.to_pandas().drop_duplicates(subset=["vec_a", "vec_b"]).reset_index(drop=True)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -763,6 +814,8 @@ QUERIES = {
     "simhash_buckets": simhash_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "structure_markdown": structure_markdown,
+    "distinct_sources": distinct_sources,
+    "embedding_near_dup": embedding_near_dup,
 }
 
 ORACLE_SQL = {
@@ -782,4 +835,5 @@ ORACLE_SQL = {
     "boilerplate_strip_docs": BOILERPLATE_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "embedding_label_norms": EMB_NORMS_SQL,
+    "distinct_sources": DISTINCT_SOURCES_SQL,
 }

@@ -72,7 +72,7 @@ def oracle_pairs():
     "orders_per_customer_topk", "filter_highvalue_orders", "events_tumbling",
     "events_sessionize", "token_counts", "quality_scores", "word_topk",
     "dedup_exact", "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
-    "embedding_label_norms",
+    "embedding_label_norms", "distinct_sources",
 ])
 def test_query_matches_oracle(ray_session, duck, name):
     from oar_ocr_ray.queries import ORACLE_SQL, QUERIES
@@ -84,7 +84,7 @@ def test_query_matches_oracle(ray_session, duck, name):
 
 @pytest.mark.parametrize("name", [
     "lang_id", "fingerprints", "minhash_bands", "simhash_buckets",
-    "minhash_dup_pairs", "ann_lsh_topk",
+    "minhash_dup_pairs", "ann_lsh_topk", "embedding_near_dup", "structure_markdown",
 ])
 def test_rows_only_queries_run(ray_session, name):
     from oar_ocr_ray.queries import QUERIES
