@@ -283,3 +283,139 @@ def connected_component_boxes(
         order = np.argsort(-area)[:max_candidates]
         boxes = boxes[order]
     return boxes
+
+
+# ---------------------------------------------------------------------------
+# DB postprocess math (reference: db_bitmap.rs, db_score.rs, geometry.rs)
+# ---------------------------------------------------------------------------
+
+def min_area_rect(points: np.ndarray) -> np.ndarray:
+    """Minimum-area enclosing rectangle of a point set via rotating calipers
+    over convex-hull edges (semantics of geometry.rs get_min_area_rect).
+    Returns (4,2) corners in TL,TR,BR,BL order of the rotated rect."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    if len(pts) == 0:
+        return np.zeros((4, 2))
+    hull = convex_hull(pts)
+    if len(hull) == 1:
+        return np.repeat(hull, 4, axis=0)
+    if len(hull) == 2:
+        return np.array([hull[0], hull[1], hull[1], hull[0]])
+    best_area = np.inf
+    best = None
+    for i in range(len(hull)):
+        e = hull[(i + 1) % len(hull)] - hull[i]
+        norm = np.linalg.norm(e)
+        if norm == 0:
+            continue
+        ux = e / norm
+        uy = np.array([-ux[1], ux[0]])
+        xs = hull @ ux
+        ys = hull @ uy
+        area = (xs.max() - xs.min()) * (ys.max() - ys.min())
+        if area < best_area:
+            best_area = area
+            c = np.array([
+                [xs.min(), ys.min()], [xs.max(), ys.min()],
+                [xs.max(), ys.max()], [xs.min(), ys.max()],
+            ])
+            best = c @ np.stack([ux, uy])
+    # order: keep the construction's cyclic corner order (rect-frame
+    # TL,TR,BR,BL), rolled so the corner nearest the global top-left comes
+    # first — order_quad_points' sum/diff heuristic is ambiguous at 45°
+    s = best.sum(axis=1)
+    start = np.lexsort((best[:, 1], np.round(s, 9)))[0]
+    return np.roll(best, -start, axis=0)
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns hull points CCW."""
+    pts = np.unique(np.asarray(points, dtype=np.float64).reshape(-1, 2), axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(iterable):
+        out = []
+        for p in iterable:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def approx_poly_dp(points: np.ndarray, epsilon: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (geometry.rs approx_poly_dp)."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        return pts
+
+    def simplify(lo: int, hi: int, keep: np.ndarray) -> None:
+        a, b = pts[lo], pts[hi]
+        seg = b - a
+        seg_len = np.linalg.norm(seg)
+        if seg_len == 0:
+            d = np.linalg.norm(pts[lo + 1:hi] - a, axis=1)
+        else:
+            d = np.abs(np.cross(seg, a - pts[lo + 1:hi])) / seg_len
+        if len(d) == 0:
+            return
+        imax = int(d.argmax())
+        if d[imax] > epsilon:
+            mid = lo + 1 + imax
+            keep[mid] = True
+            simplify(lo, mid, keep)
+            simplify(mid, hi, keep)
+
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    simplify(0, len(pts) - 1, keep)
+    return pts[keep]
+
+
+def unclip_box(quad: np.ndarray, unclip_ratio: float = 2.0) -> np.ndarray:
+    """DB box expansion: offset distance delta = area * ratio / perimeter
+    (db_bitmap.rs:144-211, Vatti offset via clipper in the reference; here
+    an exact outward offset of the rotated rect: each edge pushed out by
+    delta)."""
+    q = order_quad_points(np.asarray(quad, dtype=np.float64).reshape(4, 2))
+    e = np.roll(q, -1, axis=0) - q
+    lens = np.linalg.norm(e, axis=1)
+    area = 0.5 * abs(
+        np.dot(q[:, 0], np.roll(q[:, 1], -1)) - np.dot(q[:, 1], np.roll(q[:, 0], -1))
+    )
+    perimeter = lens.sum()
+    if perimeter == 0:
+        return q
+    delta = area * unclip_ratio / perimeter
+    center = q.mean(axis=0)
+    out = np.empty_like(q)
+    for i in range(4):
+        # outward normal of each vertex = average of adjacent edge normals
+        e_prev = q[i] - q[i - 1]
+        e_next = q[(i + 1) % 4] - q[i]
+        n_prev = np.array([e_prev[1], -e_prev[0]])
+        n_next = np.array([e_next[1], -e_next[0]])
+        n = n_prev / max(np.linalg.norm(n_prev), 1e-9) + n_next / max(np.linalg.norm(n_next), 1e-9)
+        n = n / max(np.linalg.norm(n), 1e-9)
+        if np.dot(n, q[i] - center) < 0:
+            n = -n
+        out[i] = q[i] + n * delta * np.sqrt(2.0)
+    return order_quad_points(out)
+
+
+def box_score_fast(bitmap: np.ndarray, box: np.ndarray) -> float:
+    """Mean probability inside the box's AABB clipped to the bitmap
+    (db_score.rs:35 box_score_fast for axis-aligned boxes)."""
+    h, w = bitmap.shape[:2]
+    b = quad_to_aabb(np.asarray(box, dtype=np.float64).reshape(-1, 2))[0]
+    x0 = int(np.clip(np.floor(b[0]), 0, w - 1))
+    y0 = int(np.clip(np.floor(b[1]), 0, h - 1))
+    x1 = int(np.clip(np.ceil(b[2]), 1, w))
+    y1 = int(np.clip(np.ceil(b[3]), 1, h))
+    region = bitmap[y0:y1, x0:x1]
+    return float(region.mean()) if region.size else 0.0

@@ -104,3 +104,59 @@ def test_connected_components_l_shape():
 
 def test_connected_components_empty():
     assert connected_component_boxes(np.zeros((5, 5), dtype=bool)).shape == (0, 4)
+
+
+def test_min_area_rect_axis_aligned():
+    from oar_ocr_ray.geometry import min_area_rect
+
+    r = min_area_rect(np.array([[0, 0], [10, 0], [10, 4], [0, 4], [5, 2]]))
+    np.testing.assert_allclose(r, [[0, 0], [10, 0], [10, 4], [0, 4]], atol=1e-9)
+
+
+def test_min_area_rect_rotated_square():
+    from oar_ocr_ray.geometry import min_area_rect
+
+    pts = np.array([[0, 5], [5, 0], [10, 5], [5, 10]])
+    r = min_area_rect(pts)
+    # diamond with diagonal 10 -> rotated square of side ~7.07, area 50
+    area = abs(np.cross(r[1] - r[0], r[3] - r[0]))
+    assert abs(area - 50.0) < 1e-6
+
+
+def test_convex_hull():
+    from oar_ocr_ray.geometry import convex_hull
+
+    pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1]])
+    hull = convex_hull(pts)
+    assert len(hull) == 4  # interior point excluded
+
+
+def test_approx_poly_dp():
+    from oar_ocr_ray.geometry import approx_poly_dp
+
+    line = np.array([[0, 0], [1, 0.01], [2, 0], [3, 0.01], [4, 0]])
+    assert len(approx_poly_dp(line, 0.1)) == 2
+    zig = np.array([[0, 0], [2, 2], [4, 0]])
+    assert len(approx_poly_dp(zig, 0.5)) == 3
+
+
+def test_unclip_box_grows_by_area_ratio_over_perimeter():
+    from oar_ocr_ray.geometry import unclip_box, quad_to_aabb
+
+    q = np.array([[0, 0], [10, 0], [10, 4], [0, 4]])
+    u = unclip_box(q, 2.0)
+    a0 = quad_to_aabb(q)[0]
+    a1 = quad_to_aabb(u)[0]
+    # delta = 40*2/28 ~ 2.857 per side
+    assert a1[0] < a0[0] and a1[1] < a0[1] and a1[2] > a0[2] and a1[3] > a0[3]
+    grow_x = (a1[2] - a1[0]) - (a0[2] - a0[0])
+    assert 4.0 < grow_x < 7.5
+
+
+def test_box_score_fast():
+    from oar_ocr_ray.geometry import box_score_fast
+
+    bm = np.zeros((10, 10))
+    bm[2:4, 2:6] = 1.0
+    assert box_score_fast(bm, np.array([[2, 2], [6, 2], [6, 4], [2, 4]])) == 1.0
+    assert box_score_fast(bm, np.array([[0, 0], [10, 0], [10, 10], [0, 10]])) == 0.08

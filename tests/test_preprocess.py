@@ -1,0 +1,94 @@
+"""Preprocessing-policy tests (reference: resize_detection.rs Type0,
+resize_recognition.rs, normalization.rs, batch/mod.rs ToBatch)."""
+
+import numpy as np
+import pytest
+
+from oar_ocr_ray.preprocess import (
+    det_resize,
+    normalize_image,
+    ocr_resize_and_pad,
+    pad_to_min_size,
+    resize_bilinear,
+    to_batch,
+)
+
+
+def test_det_resize_min_grows_short_side():
+    img = np.full((100, 200), 128, dtype=np.uint8)
+    out, (rh, rw) = det_resize(img, limit_side_len=736, limit_type="min")
+    # ratio 7.36 -> 736x1472, already multiples of 32
+    assert out.shape == (736, 1472)
+    assert rh == pytest.approx(7.36) and rw == pytest.approx(7.36)
+
+
+def test_det_resize_max_shrinks_long_side_and_snaps_32():
+    img = np.zeros((500, 1000), dtype=np.uint8)
+    out, _ = det_resize(img, limit_side_len=960, limit_type="max")
+    # long side 1000 > 960 -> ratio .96 -> 480x960 both /32-snapped
+    assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+    assert out.shape == (480, 960)
+
+
+def test_det_resize_noop_when_within_limits():
+    img = np.zeros((736, 736), dtype=np.uint8)
+    out, ratios = det_resize(img, limit_side_len=736, limit_type="min")
+    assert out.shape == (736, 736) and ratios == (1.0, 1.0)
+
+
+def test_det_resize_max_side_cap():
+    img = np.zeros((100, 4000), dtype=np.uint8)
+    out, _ = det_resize(img, limit_side_len=736, limit_type="min", max_side_limit=4000)
+    assert max(out.shape) <= 4000 + 16  # snapped to /32 after cap
+
+
+def test_pad_to_min_size():
+    img = np.full((10, 20), 7, dtype=np.uint8)
+    out = pad_to_min_size(img)
+    assert out.shape == (32, 32)
+    assert (out[:10, :20] == 7).all() and out[31, 31] == 255
+
+
+def test_ocr_resize_and_pad():
+    img = np.full((24, 96), 50, dtype=np.uint8)  # wh_ratio 4
+    out, actual = ocr_resize_and_pad(img, target_h=48, max_wh_ratio=10.0)
+    assert out.shape == (48, 480)
+    assert actual == 192  # 48 * 4
+    assert (out[:, :actual] == 50).all()
+    assert (out[:, actual:] == 0).all()
+
+
+def test_ocr_resize_cap_at_tensor_width():
+    img = np.full((10, 1000), 50, dtype=np.uint8)  # ratio 100 > max 10
+    out, actual = ocr_resize_and_pad(img, target_h=48, max_wh_ratio=10.0)
+    assert out.shape == (48, 480) and actual == 480
+
+
+def test_normalize_image():
+    img = np.full((4, 5, 3), 255, dtype=np.uint8)
+    out = normalize_image(img)
+    assert out.shape == (3, 4, 5) and out.dtype == np.float32
+    # channel 0: (1.0 - 0.485) / 0.229
+    assert out[0, 0, 0] == pytest.approx((1.0 - 0.485) / 0.229, rel=1e-5)
+    bgr = normalize_image(img[:, :, ::-1].copy(), rgb_to_bgr=True)
+    np.testing.assert_allclose(bgr, out, rtol=1e-5)
+
+
+def test_to_batch_contiguous_fast_path():
+    imgs = [np.ones((3, 8, 8), dtype=np.float32)] * 4
+    out = to_batch(imgs)
+    assert out.shape == (4, 3, 8, 8) and (out == 1).all()
+
+
+def test_to_batch_mixed_dims_pads():
+    imgs = [np.ones((3, 8, 8), dtype=np.float32), np.ones((3, 4, 12), dtype=np.float32)]
+    out = to_batch(imgs)
+    assert out.shape == (2, 3, 8, 12)
+    assert out[0, 0, 0, 8:].sum() == 0  # padding zeroed
+    assert out[1, 0, 4:, :].sum() == 0
+
+
+def test_resize_bilinear_identity_and_shape():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert (resize_bilinear(img, 3, 4) == img).all()
+    assert resize_bilinear(img, 6, 8).shape == (6, 8)
