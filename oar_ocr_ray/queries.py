@@ -785,6 +785,90 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.98):
     return df
 
 
+
+
+def _media_lines_ds(sf_dir: str, emit_word_boxes: bool = False):
+    """Detect+recognize chain over the interleaved corpus derived from this
+    sf_dir; yields recognized line rows with bboxes (media path only)."""
+    import importlib.util as _il
+
+    import ray.data
+    import pyarrow.compute as pc
+
+    from .stages.explode import make_explode_spans
+    from .stages.media import MediaDetect, Recognize, cached_stage
+    from .stages.text import strip_text_spans
+    from .pipelines.extract import _media_refs_for
+
+    spec = _il.spec_from_file_location(
+        "_entry", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__ray_entry__.py")
+    )
+    entry_mod = _il.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    meta = entry_mod._interleaved_corpus(sf_dir)
+    refs = _media_refs_for(meta["media_dir"])
+    ds = ray.data.read_parquet(meta["doc_files"], columns=["doc_id", "spans"])
+    ds = ds.map_batches(make_explode_spans(32), batch_format="pyarrow")
+    ds = ds.map_batches(strip_text_spans, batch_format="pyarrow")
+    ds = ds.map_batches(
+        cached_stage(MediaDetect, media_refs=refs, cache_token=meta["media_dir"]),
+        batch_format="pyarrow", batch_size=64,
+    )
+    ds = ds.map_batches(
+        cached_stage(
+            Recognize, emit_word_boxes=emit_word_boxes,
+            cache_token=f"rec-wb={emit_word_boxes}",
+        ),
+        batch_format="pyarrow", batch_size=512,
+    )
+    return ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["kind"], "image"), pc.is_valid(t["bx0"]))),
+        batch_format="pyarrow",
+    )
+
+
+def ocr_word_boxes(sf_dir: str):
+    """Rows-only: per recognized line, per-character word boxes from REAL
+    CTC column indices (ocr.rs:862-933), in detection-box coordinates."""
+    import pyarrow.compute as pc
+
+    ds = _media_lines_ds(sf_dir, emit_word_boxes=True)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        wb = t["word_boxes"].combine_chunks()
+        n = pc.list_value_length(wb)
+        return pa.table(
+            {
+                "media_ref": t["media_ref"].combine_chunks(),
+                "det_idx": t["det_idx"].combine_chunks(),
+                "text": t["text"].combine_chunks(),
+                "n_chars": pc.cast(n, pa.int32()),
+                "word_boxes": wb,
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+def crop_aspect_buckets(sf_dir: str):
+    """Rows-only: aspect-ratio bucket histogram of recognition crops
+    (diagnostics analogue of the reference aspect_ratio_bucketing.rs:199)."""
+    edges = np.array([1.0, 2.0, 4.0, 8.0, 16.0])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["bx1"].to_numpy() - df["bx0"].to_numpy()
+        h = np.maximum(df["by1"].to_numpy() - df["by0"].to_numpy(), 1e-9)
+        b = np.digitize(w / h, edges)
+        vc = pd.Series(b).value_counts()
+        return pd.DataFrame({"bucket": vc.index.astype("int32"), "n": vc.to_numpy()})
+
+    ds = _media_lines_ds(sf_dir)
+    partials = ds.map_batches(partial, batch_format="pandas")
+    df = _reduce_small(partials, ["bucket"], ["n"])
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("bucket").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -816,6 +900,8 @@ QUERIES = {
     "structure_markdown": structure_markdown,
     "distinct_sources": distinct_sources,
     "embedding_near_dup": embedding_near_dup,
+    "ocr_word_boxes": ocr_word_boxes,
+    "crop_aspect_buckets": crop_aspect_buckets,
 }
 
 ORACLE_SQL = {

@@ -275,10 +275,17 @@ class Recognize:
     Holds the charset/decoder state (the reference loads the char dict once
     per session, ocr.rs:214-223); processes each batch wh-ratio-sorted and
     scatters results back by original batch position.
+
+    emit_word_boxes=True additionally computes per-character boxes from the
+    REAL CTC column indices (ocr.rs:862-933 ctc_word_boxes): batch
+    max_wh_ratio scales the effective column count exactly like the
+    reference's padded recognition tensors (crnn.rs:70-77), and boxes are
+    emitted in detection-box coordinates as a `word_boxes` list column.
     """
 
-    def __init__(self, drop_empty: bool = True):
+    def __init__(self, drop_empty: bool = True, emit_word_boxes: bool = False):
         self.drop_empty = drop_empty
+        self.emit_word_boxes = emit_word_boxes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         has_crop = pc.is_valid(batch["crop"])
@@ -297,18 +304,41 @@ class Recognize:
 
         texts = [""] * len(blobs)
         confs = np.zeros(len(blobs), dtype=np.float32)
+        word_boxes: list[list[list[float]]] = [[] for _ in blobs]
+        max_wh = float(wh.max()) if len(wh) else 1.0  # crnn.rs:70-77 batch max
+        if self.emit_word_boxes:
+            bx0 = crops["bx0"].to_numpy(zero_copy_only=False)
+            by0 = crops["by0"].to_numpy(zero_copy_only=False)
+            bx1 = crops["bx1"].to_numpy(zero_copy_only=False)
+            by1 = crops["by1"].to_numpy(zero_copy_only=False)
         for j in order:  # batch processed in wh-ratio order
             arr = np.frombuffer(blobs[j], dtype=np.uint8).reshape(hs[j], ws[j])
             raw = read_crop_text(arr)
             logits = encode_ctc_logits(raw)
-            text, conf, _cols = ctc_greedy_decode(logits)
+            text, conf, cols = ctc_greedy_decode(logits)
             texts[j] = text  # scatter back by original index (ocr.rs:797)
             confs[j] = conf
+            if self.emit_word_boxes and text:
+                from ..ctc import ctc_word_boxes
+
+                wb = ctc_word_boxes(
+                    (bx0[j], by0[j], bx1[j], by1[j]), text, cols,
+                    seq_len=len(logits), wh_ratio=float(wh[j]), max_wh_ratio=max_wh,
+                )
+                word_boxes[j] = [list(map(float, b)) for b in wb]
 
         rec = crops.drop_columns([n for n, _ in CROP_FIELDS])
         rec = rec.set_column(
             rec.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
         )
+        if self.emit_word_boxes:
+            passthrough = passthrough.append_column(
+                "word_boxes",
+                pa.nulls(len(passthrough), type=pa.list_(pa.list_(pa.float32()))),
+            )
+            rec = rec.append_column(
+                "word_boxes", pa.array(word_boxes, type=pa.list_(pa.list_(pa.float32())))
+            )
         if self.drop_empty:
             rec = rec.filter(pc.invert(pc.equal(rec["text"], "")))
         rec = rec.select(passthrough.column_names).cast(passthrough.schema)

@@ -63,3 +63,31 @@ def read_crop_text(crop: np.ndarray) -> str:
     if ((vals < 32) | (vals > 126)).any():
         return ""
     return bytes(vals.tolist()).decode("ascii")
+
+
+def rotate_boxes_back(boxes: np.ndarray, class_id: int, upright_w: int, upright_h: int) -> np.ndarray:
+    """Map AABBs from upright coordinates back to the stored (rotated) image
+    coordinates — the inverse of correct_orientation, mirroring the
+    reference's rotate_text_regions_back (/root/reference/src/oarocr/ocr.rs:814):
+    results are reported in the ORIGINAL image's frame.
+
+    Stored image = rot90(upright, k=-class_id); a pixel (x, y) in the
+    upright frame therefore lands at:
+      class 1 (stored 90° CW):  (x', y') = (H-1-y, x)   [stored W x H swap]
+      class 2 (180°):           (x', y') = (W-1-x, H-1-y)
+      class 3 (stored 90° CCW): (x', y') = (y, W-1-x)
+    Boxes use exclusive max edges, so edges map with W/H (not W-1/H-1).
+    """
+    b = np.atleast_2d(np.asarray(boxes, dtype=np.float64))
+    k = class_id % 4
+    w, h = float(upright_w), float(upright_h)
+    x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    if k == 0:
+        out = b.copy()
+    elif k == 1:
+        out = np.stack([h - y1, x0, h - y0, x1], axis=1)
+    elif k == 2:
+        out = np.stack([w - x1, h - y1, w - x0, h - y0], axis=1)
+    else:
+        out = np.stack([y0, w - x1, y1, w - x0], axis=1)
+    return out

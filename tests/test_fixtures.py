@@ -79,3 +79,22 @@ def test_golden_extract_shapes():
 def test_media_bucket_stable():
     assert media_bucket("media://doc-00000001/3") == media_bucket("media://doc-00000001/3")
     assert 0 <= media_bucket("x", 16) < 16
+
+
+def test_rotate_boxes_back_matches_numpy_rotation():
+    """Verify the coordinate mapping against actual pixel rotation."""
+    from oar_ocr_ray.stubs import rotate_boxes_back
+
+    rng = np.random.default_rng(3)
+    upright = np.zeros((30, 50), dtype=np.uint8)
+    # mark a rectangle in upright coords
+    x0, y0, x1, y1 = 10, 5, 30, 12
+    upright[y0:y1, x0:x1] = 200
+    for cls in range(4):
+        stored = np.rot90(upright, k=-cls)
+        (bx0, by0, bx1, by1) = rotate_boxes_back(
+            np.array([[x0, y0, x1, y1]]), cls, upright.shape[1], upright.shape[0]
+        )[0]
+        region = stored[int(by0):int(by1), int(bx0):int(bx1)]
+        assert region.size > 0 and (region == 200).all(), cls
+        assert (stored == 200).sum() == region.size, cls

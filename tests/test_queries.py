@@ -85,6 +85,7 @@ def test_query_matches_oracle(ray_session, duck, name):
 @pytest.mark.parametrize("name", [
     "lang_id", "fingerprints", "minhash_bands", "simhash_buckets",
     "minhash_dup_pairs", "ann_lsh_topk", "embedding_near_dup", "structure_markdown",
+    "ocr_word_boxes", "crop_aspect_buckets",
 ])
 def test_rows_only_queries_run(ray_session, name):
     from oar_ocr_ray.queries import QUERIES
