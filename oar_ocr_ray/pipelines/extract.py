@@ -95,6 +95,49 @@ def build_extract_pipeline(
     return ds.groupby("part").map_groups(merge_partials, batch_format="pyarrow")
 
 
+def main(argv: list[str] | None = None) -> None:
+    """CLI entry (the `ray job submit` surface):
+
+    python -m oar_ocr_ray.pipelines.extract --docs DIR_OR_GLOB --media DIR \
+        --out OUT [--shards N] [--n-parts P] [--num-cpus C]
+
+    Resumable: re-running with the same --out skips committed shards.
+    """
+    import argparse
+    import glob as globlib
+    import json
+
+    p = argparse.ArgumentParser(description="flagship extraction pipeline")
+    p.add_argument("--docs", required=True, help="documents parquet dir or glob")
+    p.add_argument("--media", required=True, help="media bucket parquet dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--n-parts", type=int, default=128)
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    if os.path.isdir(args.docs):
+        files = sorted(
+            os.path.join(args.docs, f) for f in os.listdir(args.docs) if f.endswith(".parquet")
+        )
+    else:
+        files = sorted(globlib.glob(args.docs))
+    result = run_extract(files, args.media, args.out, n_shards=args.shards, n_parts=args.n_parts)
+    print(json.dumps(result))
+    ray.shutdown()
+
+
 _MEDIA_REFS_CACHE: dict[str, dict] = {}
 
 
@@ -193,3 +236,5 @@ def read_output(out_dir: str):
             if f.endswith(".parquet"):
                 tables.append(pq.read_table(os.path.join(d, f)))
     return pa.concat_tables(tables) if tables else None
+if __name__ == "__main__":
+    main()
