@@ -138,3 +138,41 @@ def simhash_batch(df: pd.DataFrame, ngram: int = 3) -> pd.DataFrame:
     for q in range(4):
         out[f"quad{q}"] = ((sh >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
     return out
+
+
+def cluster_pairs(pairs: list[tuple], all_ids=None) -> dict:
+    """Union-find over verified duplicate pairs -> {id: cluster_rep} with
+    the minimum member as representative. Driver-side final step over the
+    (small) verified-pair set; at larger scale this becomes a few rounds of
+    min-label propagation via groupby."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    ids = set(parent)
+    if all_ids is not None:
+        ids |= set(all_ids)
+    out = {}
+    for x in ids:
+        r = find(x)
+        # path-compress to the minimum representative
+        out[x] = r
+    # second pass: representative = min member of each cluster
+    clusters: dict = {}
+    for x, r in out.items():
+        clusters.setdefault(r, []).append(x)
+    final = {}
+    for members in clusters.values():
+        rep = min(members)
+        for m in members:
+            final[m] = rep
+    return final

@@ -869,6 +869,26 @@ def crop_aspect_buckets(sf_dir: str):
     return df.sort_values("bucket").reset_index(drop=True)
 
 
+
+
+def minhash_dup_clusters(sf_dir: str, threshold: float = 0.8):
+    """Rows-only: near-dup clusters — verified MinHash pairs -> union-find
+    cluster representatives (doc_id, cluster_rep, cluster_size)."""
+    from .functions.dedup import cluster_pairs
+
+    pairs_df = minhash_dup_pairs(sf_dir, threshold)
+    docs = pd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    mapping = cluster_pairs(
+        list(zip(pairs_df["doc_a"], pairs_df["doc_b"])), all_ids=docs["doc_id"]
+    )
+    out = pd.DataFrame(
+        {"doc_id": list(mapping.keys()), "cluster_rep": list(mapping.values())}
+    ).sort_values("doc_id")
+    sizes = out.groupby("cluster_rep")["doc_id"].transform("count")
+    out["cluster_size"] = sizes.astype("int64")
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -902,6 +922,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "ocr_word_boxes": ocr_word_boxes,
     "crop_aspect_buckets": crop_aspect_buckets,
+    "minhash_dup_clusters": minhash_dup_clusters,
 }
 
 ORACLE_SQL = {

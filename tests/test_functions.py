@@ -181,3 +181,15 @@ def test_multimodal_stages():
         ImageDecodeResize()(pa.table({"img_id": [1], "payload": [b"xx"], "fmt": ["jpeg"]}))
     with pytest.raises(NotImplementedError):
         FrameSampler()(pa.table({"video_id": [1], "payload": [b"not a video"]}))
+
+
+def test_cluster_pairs():
+    from oar_ocr_ray.functions.dedup import cluster_pairs
+
+    c = cluster_pairs([(3, 5), (5, 9), (20, 21)], all_ids=[1, 3, 5, 9, 20, 21, 40])
+    assert c[3] == c[5] == c[9] == 3
+    assert c[20] == c[21] == 20
+    assert c[1] == 1 and c[40] == 40
+    # transitivity through chains
+    c = cluster_pairs([(1, 2), (2, 3), (3, 4)])
+    assert len(set(c.values())) == 1 and c[4] == 1
