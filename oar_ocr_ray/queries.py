@@ -781,8 +781,12 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.98):
         )
 
     out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
-    df = out.to_pandas().drop_duplicates(subset=["vec_a", "vec_b"]).reset_index(drop=True)
-    return df
+    df = out.to_pandas()
+    if df.empty:  # keep a stable schema even when no near-dups exist
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                             "vec_b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return df.drop_duplicates(subset=["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 
@@ -889,6 +893,70 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = 0.8):
     return out.reset_index(drop=True)
 
 
+
+
+def customers_with_highvalue_orders(sf_dir: str, min_total: float = 300000.0):
+    """SEMI JOIN via broadcast key set: distinct high-value order custkeys
+    broadcast once; customer stream filtered per batch (no shuffle)."""
+    import ray
+
+    keys = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda df: df.loc[df["o_totalprice"] > min_total, ["o_custkey"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .to_pandas()["o_custkey"]
+    )
+    key_ref = ray.put(set(keys))
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(key_ref)
+        return df[df["c_custkey"].isin(ks)]
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        semi, batch_format="pandas"
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+"""
+
+
+def customers_without_highvalue_orders(sf_dir: str, min_total: float = 450000.0):
+    """ANTI JOIN via broadcast key set: customers with NO order above the
+    threshold (the complement of the semi join; same broadcast, negated)."""
+    import ray
+
+    keys = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda df: df.loc[df["o_totalprice"] > min_total, ["o_custkey"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .to_pandas()["o_custkey"]
+    )
+    key_ref = ray.put(set(keys))
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(key_ref)
+        return df[~df["c_custkey"].isin(ks)]
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        anti, batch_format="pandas"
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -923,6 +991,8 @@ QUERIES = {
     "ocr_word_boxes": ocr_word_boxes,
     "crop_aspect_buckets": crop_aspect_buckets,
     "minhash_dup_clusters": minhash_dup_clusters,
+    "customers_with_highvalue_orders": customers_with_highvalue_orders,
+    "customers_without_highvalue_orders": customers_without_highvalue_orders,
 }
 
 ORACLE_SQL = {
@@ -943,4 +1013,6 @@ ORACLE_SQL = {
     "ann_topk": ANN_TOPK_SQL,
     "embedding_label_norms": EMB_NORMS_SQL,
     "distinct_sources": DISTINCT_SOURCES_SQL,
+    "customers_with_highvalue_orders": SEMI_JOIN_SQL,
+    "customers_without_highvalue_orders": ANTI_JOIN_SQL,
 }

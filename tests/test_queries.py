@@ -73,6 +73,7 @@ def oracle_pairs():
     "events_sessionize", "token_counts", "quality_scores", "word_topk",
     "dedup_exact", "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
     "embedding_label_norms", "distinct_sources",
+    "customers_with_highvalue_orders", "customers_without_highvalue_orders",
 ])
 def test_query_matches_oracle(ray_session, duck, name):
     from oar_ocr_ray.queries import ORACLE_SQL, QUERIES
@@ -85,7 +86,7 @@ def test_query_matches_oracle(ray_session, duck, name):
 @pytest.mark.parametrize("name", [
     "lang_id", "fingerprints", "minhash_bands", "simhash_buckets",
     "minhash_dup_pairs", "ann_lsh_topk", "embedding_near_dup", "structure_markdown",
-    "ocr_word_boxes", "crop_aspect_buckets",
+    "ocr_word_boxes", "crop_aspect_buckets", "minhash_dup_clusters",
 ])
 def test_rows_only_queries_run(ray_session, name):
     from oar_ocr_ray.queries import QUERIES
