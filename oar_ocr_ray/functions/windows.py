@@ -45,3 +45,30 @@ def sessionize(g: pd.DataFrame, gap_minutes: int = 30) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+
+
+def sliding_window(df: pd.DataFrame, size_minutes: int = 60, hop_minutes: int = 15) -> pd.DataFrame:
+    """Per (event_type, window_start) over sliding windows of `size` hopping
+    by `hop`: each event contributes to size/hop windows. Partial-aggregate
+    per batch (combiner), exact alignment: window starts are epoch-aligned
+    multiples of the hop."""
+    assert size_minutes % hop_minutes == 0
+    k = size_minutes // hop_minutes
+    hop = pd.Timedelta(minutes=hop_minutes)
+    base = df["ts"].dt.floor(f"{hop_minutes}min")
+    frames = []
+    for i in range(k):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"].to_numpy(),
+                    "window_start": (base - i * hop).to_numpy(),
+                    "n_events": 1,
+                    "sum_value": df["value"].to_numpy(),
+                }
+            )
+        )
+    allf = pd.concat(frames, ignore_index=True)
+    return allf.groupby(["event_type", "window_start"], sort=False, as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+    )

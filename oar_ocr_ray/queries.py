@@ -957,6 +957,30 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+
+
+def events_sliding(sf_dir: str):
+    """Sliding 60-min windows hopping every 15 min over events (each event
+    lands in 4 windows); per-batch combiner + driver-side final reduce."""
+    from .functions.windows import sliding_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    partials = ds.map_batches(lambda df: sliding_window(df, 60, 15), batch_format="pandas")
+    df = _reduce_small(partials, ["event_type", "window_start"], ["n_events", "sum_value"])
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = df["sum_value"].round(2)
+    return df
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       make_timestamp(((floor(epoch(ts) / 900) * 900 - ks.k * 900)::BIGINT) * 1000000) AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -970,6 +994,7 @@ QUERIES = {
     "filter_highvalue_orders": filter_highvalue_orders,
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
+    "events_sliding": events_sliding,
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "word_topk": word_topk,
@@ -1004,6 +1029,7 @@ ORACLE_SQL = {
     "filter_highvalue_orders": FILTER_SQL,
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
+    "events_sliding": EVENTS_SLIDING_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "quality_scores": QUALITY_SQL,
     "word_topk": WORD_TOPK_SQL,

@@ -193,3 +193,14 @@ def test_cluster_pairs():
     # transitivity through chains
     c = cluster_pairs([(1, 2), (2, 3), (3, 4)])
     assert len(set(c.values())) == 1 and c[4] == 1
+
+
+def test_sliding_window():
+    from oar_ocr_ray.functions.windows import sliding_window
+
+    out = sliding_window(_events(), 60, 15)
+    # each event in 4 windows -> total contributions = 5*4
+    assert out["n_events"].sum() == 20
+    # event at 00:05 lands in windows 23:15..00:05 of the prior hour span
+    a = out[out["event_type"] == "a"]
+    assert len(a) >= 4
