@@ -981,6 +981,62 @@ GROUP BY 1, 2
 """
 
 
+
+
+def parts_by_brand(sf_dir: str):
+    """Groupby over part: count + avg retail price per brand (combiner)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_brand", as_index=False, sort=False).agg(
+            n_parts=("p_partkey", "count"), sum_price=("p_retailprice", "sum")
+        )
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+    df = _reduce_small(ds.map_batches(partial, batch_format="pandas"),
+                       ["p_brand"], ["n_parts", "sum_price"])
+    df["avg_price"] = (df["sum_price"] / df["n_parts"]).round(4)
+    df = df.drop(columns=["sum_price"])
+    df["n_parts"] = df["n_parts"].astype("int64")
+    return df
+
+
+PARTS_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part GROUP BY p_brand
+"""
+
+
+def supplier_balance_by_region(sf_dir: str):
+    """supplier -> nation -> region broadcast-map join; avg balance per
+    region (small dimensions broadcast, no shuffle)."""
+    nation = pd.read_parquet(_p(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    nk_to_region = dict(
+        zip(nation["n_nationkey"], nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"r_name": df["s_nationkey"].map(nk_to_region), "bal": df["s_acctbal"], "n": 1}
+        )
+        return g.groupby("r_name", as_index=False, sort=False).agg(bal=("bal", "sum"), n=("n", "sum"))
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    df = _reduce_small(ds.map_batches(partial, batch_format="pandas"), ["r_name"], ["bal", "n"])
+    out = pd.DataFrame(
+        {"r_name": df["r_name"], "n_suppliers": df["n"].astype("int64"),
+         "avg_acctbal": (df["bal"] / df["n"]).round(4)}
+    )
+    return out
+
+
+SUPPLIER_REGION_SQL = """
+SELECT r.r_name, count(*) AS n_suppliers, round(avg(s.s_acctbal), 4) AS avg_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1018,6 +1074,8 @@ QUERIES = {
     "minhash_dup_clusters": minhash_dup_clusters,
     "customers_with_highvalue_orders": customers_with_highvalue_orders,
     "customers_without_highvalue_orders": customers_without_highvalue_orders,
+    "parts_by_brand": parts_by_brand,
+    "supplier_balance_by_region": supplier_balance_by_region,
 }
 
 ORACLE_SQL = {
@@ -1041,4 +1099,6 @@ ORACLE_SQL = {
     "distinct_sources": DISTINCT_SOURCES_SQL,
     "customers_with_highvalue_orders": SEMI_JOIN_SQL,
     "customers_without_highvalue_orders": ANTI_JOIN_SQL,
+    "parts_by_brand": PARTS_BRAND_SQL,
+    "supplier_balance_by_region": SUPPLIER_REGION_SQL,
 }

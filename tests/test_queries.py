@@ -74,6 +74,7 @@ def oracle_pairs():
     "dedup_exact", "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
     "embedding_label_norms", "distinct_sources",
     "customers_with_highvalue_orders", "customers_without_highvalue_orders",
+    "parts_by_brand", "supplier_balance_by_region",
 ])
 def test_query_matches_oracle(ray_session, duck, name):
     from oar_ocr_ray.queries import ORACLE_SQL, QUERIES
