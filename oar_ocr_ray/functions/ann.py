@@ -41,6 +41,12 @@ class BruteForceScorer:
         self.k = k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # bucket-filtered blocks can be empty
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
         m = _normalize(embedding_matrix(df))
         scores = self.qm @ m.T  # (Q, B)
         vec_ids = df["vec_id"].to_numpy()
@@ -55,11 +61,15 @@ class BruteForceScorer:
 
 
 def topk_reduce(df: pd.DataFrame, k: int = 10) -> pd.DataFrame:
-    """Final reduce over partial top-k rows (small: Q * k * n_batches)."""
+    """Final reduce over partial top-k rows (small: Q * k * n_batches).
+
+    Ranks on scores ROUNDED to 6 decimals with vec_id tiebreak — the same
+    ordering the DuckDB oracle's QUALIFY uses, so boundary ties resolve
+    identically on both sides."""
+    df = df.copy()
+    df["score"] = df["score"].round(6)
     df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
-    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["score"] = out["score"].round(6)
-    return out
+    return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 
 
 class HyperplaneLsh:

@@ -159,7 +159,7 @@ def get_rotate_crop_image(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
         crop = img[y0:y0 + h, x0:x0 + w].copy()
         if crop.shape[0] == h and crop.shape[1] == w:
             if h >= 1.5 * w:
-                crop = np.ascontiguousarray(np.rot90(crop, k=-1))
+                crop = np.ascontiguousarray(np.rot90(crop, k=1))
             return crop
     dst = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float64)
     m_inv = perspective_matrix(dst, q)  # dst -> src mapping
@@ -193,9 +193,10 @@ def get_rotate_crop_image(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
     out = np.clip(np.rint(out), 0, 255).astype(np.uint8).reshape(h, w, -1)
     if gray:
         out = out[..., 0]
-    # vertical-text auto-rotate (transform.rs: h >= 1.5w -> rotate270)
+    # vertical-text auto-rotate (transform.rs:186 rotate270 = 90° CCW;
+    # np.rot90 k=+1 is CCW)
     if h >= 1.5 * w:
-        out = np.rot90(out, k=-1) if not gray else np.rot90(out, k=-1)
+        out = np.rot90(out, k=1)
     return out
 
 

@@ -679,38 +679,7 @@ def structure_markdown(sf_dir: str):
     """Rows-only: per-media-page structure stitch + markdown export over the
     interleaved corpus derived from this sf_dir (detect -> recognize ->
     per-page stitch_page with XY-cut order -> page_to_markdown)."""
-    import ray.data
-
-    from .stages.explode import make_explode_spans
-    from .stages.media import MediaDetect, Recognize, cached_stage
-    from .stages.text import strip_text_spans
-
-    import importlib.util as _il
-    spec = _il.spec_from_file_location(
-        "_entry", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__ray_entry__.py")
-    )
-    entry_mod = _il.module_from_spec(spec)
-    spec.loader.exec_module(entry_mod)
-    meta = entry_mod._interleaved_corpus(sf_dir)
-
-    from .pipelines.extract import _media_refs_for
-
-    refs = _media_refs_for(meta["media_dir"])
-    ds = ray.data.read_parquet(meta["doc_files"], columns=["doc_id", "spans"])
-    ds = ds.map_batches(make_explode_spans(32), batch_format="pyarrow")
-    ds = ds.map_batches(strip_text_spans, batch_format="pyarrow")
-    ds = ds.map_batches(
-        cached_stage(MediaDetect, media_refs=refs, cache_token=meta["media_dir"]),
-        batch_format="pyarrow", batch_size=64,
-    )
-    ds = ds.map_batches(cached_stage(Recognize), batch_format="pyarrow", batch_size=512)
-
-    import pyarrow.compute as pc
-
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.and_(pc.equal(t["kind"], "image"), pc.is_valid(t["bx0"]))),
-        batch_format="pyarrow",
-    )
+    ds = _media_lines_ds(sf_dir)
 
     def per_part(t: pa.Table) -> pa.Table:
         from .structure import page_to_markdown, stitch_page

@@ -75,6 +75,16 @@ def cached_stage(cls, **kwargs):
     actor pools win — build_extract_pipeline exposes both via stage_mode.
     """
     cache_token = kwargs.pop("cache_token", None)
+    if cache_token is None:
+        non_primitive = [
+            k for k, v in kwargs.items() if not isinstance(v, (str, int, float, bool, type(None)))
+        ]
+        if non_primitive:
+            raise ValueError(
+                f"cached_stage({cls.__name__}): kwargs {non_primitive} are not "
+                "hashable cache-key material; pass an explicit cache_token= "
+                "so differing instances don't silently share one cache slot"
+            )
     key = (
         cls.__module__,
         cls.__qualname__,
@@ -189,6 +199,7 @@ class MediaDetect:
         media_refs: dict | None = None,
         min_area: int = 9,
         max_cached_buckets: int = 64,
+        report_original_frame: bool = False,
     ):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
@@ -196,6 +207,10 @@ class MediaDetect:
             self.store = MediaStore(media_dir, max_cached_buckets)
         self.min_area = min_area
         self.missing_media = 0  # lost blobs skipped, not fatal (ocr.rs:510-523 precedent)
+        # reference contract (ocr.rs:814 rotate_text_regions_back): report
+        # boxes in the STORED image frame. The graft invariant compares in
+        # the upright frame (both pipeline and golden), so default False.
+        self.report_original_frame = report_original_frame
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         is_img = pc.equal(batch["kind"], "image")
@@ -226,6 +241,14 @@ class MediaDetect:
             if len(boxes) == 0:
                 continue
             order = sort_quad_boxes_indices(boxes.astype(np.float64))
+            if self.report_original_frame and cls:
+                from ..stubs import rotate_boxes_back
+
+                report_boxes = rotate_boxes_back(
+                    boxes.astype(np.float64), cls, img.shape[1], img.shape[0]
+                )
+            else:
+                report_boxes = boxes.astype(np.float64)
             for det_idx, j in enumerate(order):
                 quad = aabb_to_quad(boxes[j].astype(np.float64))[0]
                 crop = get_rotate_crop_image(img, quad)
@@ -241,10 +264,10 @@ class MediaDetect:
                 out["crop_h"].append(h)
                 out["crop_w"].append(w)
                 out["wh_ratio"].append(w / max(h, 1))
-                out["bx0"].append(float(boxes[j][0]))
-                out["by0"].append(float(boxes[j][1]))
-                out["bx1"].append(float(boxes[j][2]))
-                out["by1"].append(float(boxes[j][3]))
+                out["bx0"].append(float(report_boxes[j][0]))
+                out["by0"].append(float(report_boxes[j][1]))
+                out["bx1"].append(float(report_boxes[j][2]))
+                out["by1"].append(float(report_boxes[j][3]))
 
         crops_tbl = pa.table(
             {
@@ -294,6 +317,13 @@ class Recognize:
         )
         crops = batch.filter(has_crop)
         if len(crops) == 0:
+            if self.emit_word_boxes:
+                # keep block schemas identical across batches (a text-only
+                # batch must still carry the word_boxes column)
+                passthrough = passthrough.append_column(
+                    "word_boxes",
+                    pa.nulls(len(passthrough), type=pa.list_(pa.list_(pa.float32()))),
+                )
             return passthrough
 
         wh = crops["wh_ratio"].to_numpy(zero_copy_only=False)

@@ -183,7 +183,13 @@ def stitch_page(
     if not elements:
         return []
     all_boxes = np.array([e["bbox"] for e in elements])
-    order = sort_by_xycut(all_boxes, "vertical", 1)
+    order = list(sort_by_xycut(all_boxes, "vertical", 1))
+    # XY-cut works on int-truncated boxes: an element thinner than 1px can
+    # vanish from the projection profile (the reference's `as i32` cast has
+    # the same hole). Never drop content — append any missing indices in
+    # stable order.
+    missing = [i for i in range(len(elements)) if i not in set(order)]
+    order.extend(missing)
     ordered = []
     for rank, idx in enumerate(order):
         e = elements[int(idx)]

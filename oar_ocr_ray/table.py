@@ -85,8 +85,7 @@ def parse_cell_grid_info(tokens: list[str]) -> list[dict]:
             cells.append({"row": row, "col": col, "row_span": rspan, "col_span": cspan})
             for r in range(row, row + rspan):
                 for c in range(col, col + cspan):
-                    if r > row or c >= col:
-                        occupied.add((r, c))
+                    occupied.add((r, c))
             col += cspan
             while (row, col) in occupied:
                 col += 1

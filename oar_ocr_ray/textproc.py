@@ -52,8 +52,10 @@ _BOILER_FULL = re.compile(
     re.IGNORECASE,
 )
 # multiline variant for the vectorized path: match whole boilerplate lines
+# (trailing [\r] so CRLF inputs strip identically to the scalar path, whose
+# \s*$ consumes the \r)
 _BOILER_LINE_ML = re.compile(
-    r"(?im)^[ \t]*(?:" + "|".join(BOILERPLATE_PATTERNS) + r")[ \t]*$"
+    r"(?im)^[ \t]*(?:" + "|".join(BOILERPLATE_PATTERNS) + r")[ \t\r]*$"
 )
 _WS = re.compile(r"[ \t\r\f\v]+")
 _NL_WS = re.compile(r"[ \t]*\n[ \t]*")

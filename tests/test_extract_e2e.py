@@ -85,3 +85,37 @@ def test_output_schema(ray_session, corpus, tmp_path):
     )
     t = ds.limit(5).to_pandas()
     assert list(t.columns) == ["doc_id", "spans"]
+
+
+def test_media_detect_original_frame_boxes(ray_session, corpus):
+    """report_original_frame=True maps bboxes back to the stored (rotated)
+    image frame (reference ocr.rs:814 contract)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from oar_ocr_ray.stages.explode import make_explode_spans
+    from oar_ocr_ray.stages.media import MediaDetect
+
+    media_dir = corpus["media_dir"]
+    docs = pq.read_table(corpus["doc_files"][0])
+    rows = make_explode_spans(8)(docs)
+    det_up = MediaDetect(media_dir=media_dir)
+    det_orig = MediaDetect(media_dir=media_dir, report_original_frame=True)
+    up, orig = det_up(rows), det_orig(rows)
+    assert len(up) == len(orig)
+    # find a rotated media item and check its boxes land inside stored dims
+    meta = pq.read_table(
+        f"{media_dir}/bucket-000.parquet", columns=["media_ref", "rot", "width", "height"]
+    ).to_pylist()
+    rot_refs = {m["media_ref"]: m for m in meta if m["rot"] in (1, 3)}
+    got = orig.to_pylist()
+    checked = 0
+    for r in got:
+        m = rot_refs.get(r["media_ref"])
+        if m is None or r["bx0"] is None:
+            continue
+        # stored frame is transposed for rot 1/3
+        assert r["bx1"] <= m["height"] + 1e-6 and r["by1"] <= m["width"] + 1e-6
+        checked += 1
+    # upright-frame boxes are unchanged for rot=0 images
+    assert (up["bx0"].to_pylist().count(None)) == (orig["bx0"].to_pylist().count(None))
