@@ -1006,6 +1006,45 @@ GROUP BY r.r_name
 """
 
 
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nprobe: int = 4):
+    """Rows-only: IVF ANN — centroids fit driver-side on a sample, broadcast;
+    batches assign clusters vectorized; queries score only probed clusters."""
+    import ray
+
+    from .functions.ann import BruteForceScorer, IvfIndex, _normalize, topk_reduce
+
+    emb = pd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ivf = IvfIndex(n_clusters=min(16, max(2, len(m) // 32))).fit(m)
+    qdf = emb.nsmallest(n_queries, "vec_id")
+    qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    probed = set(int(c) for row in ivf.probe(qm, nprobe) for c in row)
+    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": qm})
+    ivf_ref = ray.put(ivf.centroids)
+
+    def assign_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        import ray as _ray
+
+        cents = _ray.get(ivf_ref)
+        mm = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        cluster = (mm @ cents.T).argmax(axis=1)
+        return df[np.isin(cluster, list(probed))]
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    filtered = ds.map_batches(assign_and_filter, batch_format="pandas")
+    partials = filtered.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pandas",
+        concurrency=2,
+    )
+    return topk_reduce(partials.to_pandas(), k)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1035,6 +1074,7 @@ QUERIES = {
     "minhash_dup_pairs": minhash_dup_pairs,
     "simhash_buckets": simhash_buckets,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "structure_markdown": structure_markdown,
     "distinct_sources": distinct_sources,
     "embedding_near_dup": embedding_near_dup,

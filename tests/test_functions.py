@@ -204,3 +204,25 @@ def test_sliding_window():
     # event at 00:05 lands in windows 23:15..00:05 of the prior hour span
     a = out[out["event_type"] == "a"]
     assert len(a) >= 4
+
+
+def test_ivf_index_recall_on_clustered_data():
+    from oar_ocr_ray.functions.ann import BruteForceScorer, IvfIndex, topk_reduce
+
+    rng = np.random.default_rng(2)
+    centers = rng.standard_normal((4, 16)) * 5
+    m = np.vstack([c + rng.standard_normal((50, 16)) * 0.3 for c in centers])
+    idx = IvfIndex(n_clusters=4, iters=6).fit(m)
+    assign = idx.assign(m)
+    assert len(np.unique(assign)) == 4
+    # query from cluster 0 probes its own cluster first
+    q = centers[0:1] + 0.01
+    probed = idx.probe(q, nprobe=1)[0]
+    member_cluster = np.bincount(assign[:50]).argmax()
+    assert probed[0] == member_cluster
+    # IVF top-k (nprobe=1) equals brute-force top-k for in-cluster queries
+    df = pd.DataFrame({"vec_id": np.arange(len(m)), "embedding": list(m)})
+    full = topk_reduce(BruteForceScorer({"ids": np.array([0]), "matrix": q}, k=5)(df), 5)
+    sub = df[np.isin(assign, probed)]
+    ivf = topk_reduce(BruteForceScorer({"ids": np.array([0]), "matrix": q}, k=5)(sub), 5)
+    assert full["vec_id"].tolist() == ivf["vec_id"].tolist()

@@ -86,7 +86,7 @@ def test_query_matches_oracle(ray_session, duck, name):
 
 @pytest.mark.parametrize("name", [
     "lang_id", "fingerprints", "minhash_bands", "simhash_buckets",
-    "minhash_dup_pairs", "ann_lsh_topk", "embedding_near_dup", "structure_markdown",
+    "minhash_dup_pairs", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup", "structure_markdown",
     "ocr_word_boxes", "crop_aspect_buckets", "minhash_dup_clusters",
 ])
 def test_rows_only_queries_run(ray_session, name):
