@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..numeric import round_half_away
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -51,11 +53,20 @@ class BruteForceScorer:
         scores = self.qm @ m.T  # (Q, B)
         vec_ids = df["vec_id"].to_numpy()
         k = min(self.k, scores.shape[1])
-        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        # Per-batch cut uses the SAME ordering as topk_reduce and the DuckDB
+        # oracle — round(6) desc, vec_id asc — so a rounded-equal pair
+        # straddling the k boundary keeps the vec_id the oracle keeps.
+        rounded = round_half_away(scores, 6)
+        out_ids = np.empty((scores.shape[0], k), dtype=vec_ids.dtype)
+        out_scores = np.empty((scores.shape[0], k), dtype=np.float64)
+        for qi in range(scores.shape[0]):
+            order = np.lexsort((vec_ids, -rounded[qi]))[:k]
+            out_ids[qi] = vec_ids[order]
+            out_scores[qi] = scores[qi, order]
         rows = {
             "query_id": np.repeat(self.qids, k),
-            "vec_id": vec_ids[part].ravel(),
-            "score": np.take_along_axis(scores, part, axis=1).ravel(),
+            "vec_id": out_ids.ravel(),
+            "score": out_scores.ravel(),
         }
         return pd.DataFrame(rows)
 
@@ -67,7 +78,7 @@ def topk_reduce(df: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     ordering the DuckDB oracle's QUALIFY uses, so boundary ties resolve
     identically on both sides."""
     df = df.copy()
-    df["score"] = df["score"].round(6)
+    df["score"] = round_half_away(df["score"], 6)
     df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
     return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 

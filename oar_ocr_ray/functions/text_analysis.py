@@ -14,6 +14,8 @@ import re
 import numpy as np
 import pandas as pd
 
+from ..numeric import round_half_away
+
 TOKEN_RE = r"\s+"
 
 # Tiny per-language stopword profiles for the n-gram/stopword language-ID
@@ -62,10 +64,10 @@ def quality_score(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     denom = n.replace(0, 1)
     df = df.copy()
     df["n_chars_m"] = n
-    df["alpha_ratio"] = (alpha / denom).round(6)
-    df["digit_ratio"] = (digit / denom).round(6)
-    df["punct_ratio"] = (punct / denom).round(6)
-    df["space_ratio"] = (space / denom).round(6)
+    df["alpha_ratio"] = round_half_away(alpha / denom, 6)
+    df["digit_ratio"] = round_half_away(digit / denom, 6)
+    df["punct_ratio"] = round_half_away(punct / denom, 6)
+    df["space_ratio"] = round_half_away(space / denom, 6)
     return df
 
 

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .numeric import round_half_away
+
 
 def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
@@ -83,10 +85,10 @@ def q1_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus"],
         ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"],
     )
-    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
-    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
+    df["avg_qty"] = round_half_away(df["sum_qty"] / df["count_order"], 4)
+    df["avg_price"] = round_half_away(df["sum_base_price"] / df["count_order"], 4)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        df[c] = df[c].round(2)
+        df[c] = round_half_away(df[c], 2)
     df["count_order"] = df["count_order"].astype("int64")
     return df
 
@@ -124,7 +126,7 @@ def q6_revenue(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
     total = ds.map_batches(partial, batch_format="pandas").aggregate(Sum("rev", alias_name="revenue"))
-    return pd.DataFrame({"revenue": [round(float(total["revenue"] or 0.0), 2)]})
+    return pd.DataFrame({"revenue": [round_half_away(float(total["revenue"] or 0.0), 2)]})
 
 
 Q6_SQL = """
@@ -160,7 +162,7 @@ def q3_top_orders(sf_dir: str):
         Sum("revenue", alias_name="revenue")
     )
     top = agg.to_pandas()
-    top["revenue"] = top["revenue"].round(2)
+    top["revenue"] = round_half_away(top["revenue"], 2)
     top = top.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     top = top.rename(columns={"l_orderkey": "o_orderkey"})
     return top.reset_index(drop=True)
@@ -210,7 +212,7 @@ def q5_nation_revenue(sf_dir: str):
 
     partials = joined.map_batches(partial, batch_format="pandas")
     df = _reduce_small(partials, ["n_name"], ["revenue"])
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue"] = round_half_away(df["revenue"], 2)
     return df
 
 
@@ -280,7 +282,7 @@ def events_tumbling(sf_dir: str):
     partials = ds.map_batches(lambda df: tumbling_window(df, 60), batch_format="pandas")
     df = _reduce_small(partials, ["event_type", "window_start"], ["n_events", "sum_value"])
     df["n_events"] = df["n_events"].astype("int64")
-    df["sum_value"] = df["sum_value"].round(2)
+    df["sum_value"] = round_half_away(df["sum_value"], 2)
     return df
 
 
@@ -302,8 +304,10 @@ def events_sessionize(sf_dir: str):
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        from .numeric import round_half_away as _rha
+
         df["n_events"] = df["n_events"].astype("int64")
-        df["sum_value"] = df["sum_value"].round(2)
+        df["sum_value"] = _rha(df["sum_value"], 2)
         return df
 
     return out.map_batches(finalize, batch_format="pandas")
@@ -529,8 +533,11 @@ ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5
 ), scored AS (
+  -- CAST to DOUBLE[]: list_cosine_similarity on FLOAT[] returns float32,
+  -- which hash-mismatches the float64 Ray side on every row.
   SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(q.qe, e.embedding), 6) AS score
+         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS score
   FROM q CROSS JOIN embeddings e
 )
 SELECT query_id, vec_id, score FROM scored
@@ -555,7 +562,7 @@ def embedding_label_norms(sf_dir: str):
         {
             "label": df["label"].astype("int32"),
             "n_vecs": df["n"].astype("int64"),
-            "avg_norm": (df["s"] / df["n"]).round(6),
+            "avg_norm": round_half_away(df["s"] / df["n"], 6),
         }
     )
 
@@ -631,7 +638,7 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8):
     norm = sub["text"].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
     sh = {d: shingle_set(t, MinHasher().ngram) for d, t in zip(sub["doc_id"], norm)}
     jac = [jaccard(sh[a], sh[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
-    cand = cand.assign(jaccard=np.round(jac, 6))
+    cand = cand.assign(jaccard=round_half_away(np.asarray(jac), 6))
     return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
 
 
@@ -746,7 +753,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.98):
         return pd.DataFrame(
             {"vec_a": np.minimum(ids[iu[keep]], ids[ju[keep]]),
              "vec_b": np.maximum(ids[iu[keep]], ids[ju[keep]]),
-             "cosine": np.round(sim[iu, ju][keep], 6)}
+             "cosine": round_half_away(sim[iu, ju][keep], 6)}
         )
 
     out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
@@ -937,7 +944,7 @@ def events_sliding(sf_dir: str):
     partials = ds.map_batches(lambda df: sliding_window(df, 60, 15), batch_format="pandas")
     df = _reduce_small(partials, ["event_type", "window_start"], ["n_events", "sum_value"])
     df["n_events"] = df["n_events"].astype("int64")
-    df["sum_value"] = df["sum_value"].round(2)
+    df["sum_value"] = round_half_away(df["sum_value"], 2)
     return df
 
 
@@ -953,23 +960,30 @@ GROUP BY 1, 2
 
 
 def parts_by_brand(sf_dir: str):
-    """Groupby over part: count + avg retail price per brand (combiner)."""
+    """Groupby over part: count + avg retail price per brand (combiner).
+
+    Money sums run in exact int64 CENTS (and the oracle in DECIMAL(18,2))
+    so the average is independent of float summation order — a float sum
+    lands on the wrong side of an exact .xxxx5 tie depending on batch
+    order, which breaks the driver's value hash."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("p_brand", as_index=False, sort=False).agg(
-            n_parts=("p_partkey", "count"), sum_price=("p_retailprice", "sum")
+        cents = np.rint(df["p_retailprice"].to_numpy() * 100.0).astype(np.int64)
+        return df.assign(cents=cents).groupby("p_brand", as_index=False, sort=False).agg(
+            n_parts=("p_partkey", "count"), sum_cents=("cents", "sum")
         )
 
     ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
     df = _reduce_small(ds.map_batches(partial, batch_format="pandas"),
-                       ["p_brand"], ["n_parts", "sum_price"])
-    df["avg_price"] = (df["sum_price"] / df["n_parts"]).round(4)
-    df = df.drop(columns=["sum_price"])
+                       ["p_brand"], ["n_parts", "sum_cents"])
+    df["avg_price"] = round_half_away((df["sum_cents"] / 100.0) / df["n_parts"], 4)
+    df = df.drop(columns=["sum_cents"])
     df["n_parts"] = df["n_parts"].astype("int64")
     return df
 
 
 PARTS_BRAND_SQL = """
-SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+SELECT p_brand, count(*) AS n_parts,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
 FROM part GROUP BY p_brand
 """
 
@@ -993,7 +1007,7 @@ def supplier_balance_by_region(sf_dir: str):
     df = _reduce_small(ds.map_batches(partial, batch_format="pandas"), ["r_name"], ["bal", "n"])
     out = pd.DataFrame(
         {"r_name": df["r_name"], "n_suppliers": df["n"].astype("int64"),
-         "avg_acctbal": (df["bal"] / df["n"]).round(4)}
+         "avg_acctbal": round_half_away(df["bal"] / df["n"], 4)}
     )
     return out
 

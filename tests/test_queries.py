@@ -42,20 +42,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def compare(name, ray_df, sql_df):
+    """EXACT compare (bit-equal floats), mirroring the driver's value hash —
+    rounding parity bugs must fail here, not at the driver."""
     a, b = normalize(ray_df), normalize(sql_df)
     assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} != {list(b.columns)}"
     assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating):
-            ok = np.allclose(av, bv.astype(av.dtype), atol=1e-6, equal_nan=True)
+            both_nan = pd.isna(av) & pd.isna(bv)
+            ok = bool(np.all((av == bv.astype(av.dtype)) | both_nan))
         else:
             ok = (av == bv).all()
         assert ok, f"{name}: column {c} differs\n{a[c].head()}\nvs\n{b[c].head()}"
