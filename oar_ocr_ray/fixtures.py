@@ -409,3 +409,223 @@ def interleave_from_flat(
         "doc_dir": doc_dir, "media_dir": media_dir, "doc_files": doc_files,
         "n_docs": len(docs), "n_media": len(media), "seed": seed,
     }
+
+
+# ---------------------------------------------------------------------------
+# Structure-page fixtures: layout blocks + text lines + golden oracle
+# ---------------------------------------------------------------------------
+
+BLOCK_FILL = 200         # layout block background (>=150, <255: block mask)
+BLOCK_TAG_BASE = 140     # block tag pixel = BLOCK_TAG_BASE + type code
+LAYOUT_CODES = {
+    1: "doc_title", 2: "paragraph_title", 3: "text", 4: "table",
+    5: "image", 6: "header", 7: "footer", 8: "list",
+}
+LAYOUT_CODE_OF = {v: k for k, v in LAYOUT_CODES.items()}
+
+STRUCT_BLOCK_STRUCT = pa.struct(
+    [("x0", pa.int32()), ("y0", pa.int32()), ("x1", pa.int32()),
+     ("y1", pa.int32()), ("label", pa.string())]
+)
+STRUCT_MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("rot", pa.int32()),
+        ("png", pa.binary()),
+        ("blocks", pa.list_(STRUCT_BLOCK_STRUCT)),
+        ("lines", pa.list_(BOX_STRUCT)),
+    ]
+)
+STRUCT_GOLDEN_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("n_elements", pa.int32()),
+        ("labels", pa.string()),
+        ("markdown", pa.string()),
+        ("html", pa.string()),
+    ]
+)
+
+
+def _draw_block(img, x0, y0, x1, y1, label):
+    """Block rendering contract (consumed by stubs.detect_layout_blocks):
+    solid BLOCK_FILL rectangle; pixel [y0+1, x0] = BLOCK_TAG_BASE + code."""
+    img[y0:y1, x0:x1] = BLOCK_FILL
+    img[y0 + 1, x0] = BLOCK_TAG_BASE + LAYOUT_CODE_OF[label]
+
+
+def _draw_line(img, rng, x_lo, y_lo, x_hi, y_hi):
+    """Draw one encoded text line INSIDE the given region; returns
+    (x0, y0, x1, y1, text) or None if it doesn't fit."""
+    avail_w = x_hi - x_lo
+    avail_h = y_hi - y_lo
+    if avail_w < 14 or avail_h < 9:
+        return None
+    text = _gen_line_text(rng)
+    bw = max(len(text) + 4, 12)
+    if bw >= avail_w:
+        text = text[: max(4, avail_w - 8)]
+        bw = max(len(text) + 4, 12)
+        if bw >= avail_w:
+            return None
+    bh = int(rng.integers(8, min(13, avail_h + 1)))
+    x0 = x_lo + int(rng.integers(0, avail_w - bw))
+    y0 = y_lo + int(rng.integers(0, max(avail_h - bh, 0) + 1))
+    img[y0:y0 + bh, x0:x0 + bw] = FILL_VALUE
+    enc = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+    img[y0 + 1, x0] = len(enc)
+    img[y0 + 1, x0 + 1:x0 + 1 + len(enc)] = enc
+    return (x0, y0, x0 + bw, y0 + bh, text)
+
+
+def gen_structure_page(rng: np.random.Generator):
+    """Render one synthetic structured page: header / doc_title /
+    paragraph_title / text / table / image / list / footer blocks with
+    encoded text lines inside (3px inset, so the block fill stays one
+    connected component), plus an optional orphan line on the page
+    background. Returns (png, w, h, rot, blocks, lines) where blocks =
+    [(x0,y0,x1,y1,label)] and lines = [(x0,y0,x1,y1,text)] in upright
+    coords."""
+    w = int(rng.integers(260, 380))
+    h = int(rng.integers(320, 460))
+    img = np.full((h, w), 255, dtype=np.uint8)
+    blocks: list[tuple] = []
+    lines: list[tuple] = []
+
+    def block_with_lines(x0, y0, x1, y1, label, n_lines):
+        _draw_block(img, x0, y0, x1, y1, label)
+        blocks.append((x0, y0, x1, y1, label))
+        ly = y0 + 3
+        for _ in range(n_lines):
+            ln = _draw_line(img, rng, x0 + 3, ly, x1 - 3, min(ly + 13, y1 - 3))
+            if ln is not None:
+                lines.append(ln)
+                ly = ln[3] + 2
+            if ly >= y1 - 9:
+                break
+
+    y = 6
+    if rng.random() < 0.7:
+        block_with_lines(8, y, w - 8, y + 18, "header", 1)
+        y += 26
+    if rng.random() < 0.8:
+        q = w // 5
+        block_with_lines(q, y, w - q, y + 18, "doc_title", 1)
+        y += 26
+
+    body_end = h - 64
+    while y < body_end - 72:  # every branch's max block height fits
+        r = rng.random()
+        if r < 0.16:
+            bh = 18
+            block_with_lines(8, y, w - 8, y + bh, "paragraph_title", 1)
+        elif r < 0.28:
+            bh = int(rng.integers(36, 61))
+            x0 = int(rng.integers(8, max(9, w // 3)))
+            x1 = x0 + int(rng.integers(60, w - x0 - 8))
+            _draw_block(img, x0, y, x1, y + bh, "image")
+            blocks.append((x0, y, x1, y + bh, "image"))
+        elif r < 0.40:
+            bh = int(rng.integers(44, 70))
+            block_with_lines(10, y, w - 10, y + bh, "table", int(rng.integers(2, 4)))
+        elif r < 0.50 and w >= 300:
+            bh = int(rng.integers(40, 60))
+            mid = w // 2
+            block_with_lines(8, y, mid - 4, y + bh, "text", int(rng.integers(1, 3)))
+            block_with_lines(mid + 4, y, w - 8, y + bh, "text", int(rng.integers(1, 3)))
+        elif r < 0.58:
+            bh = int(rng.integers(30, 50))
+            block_with_lines(8, y, w - 8, y + bh, "list", int(rng.integers(2, 4)))
+        else:
+            bh = int(rng.integers(30, 64))
+            block_with_lines(8, y, w - 8, y + bh, "text", int(rng.integers(1, 4)))
+        y += bh + 8
+
+    if rng.random() < 0.35:  # orphan line on the background (no block)
+        ln = _draw_line(img, rng, 12, h - 58, w - 12, h - 44)
+        if ln is not None:
+            lines.append(ln)
+    if rng.random() < 0.6:
+        block_with_lines(8, h - 24, w - 8, h - 6, "footer", 1)
+
+    rot = int(rng.choice([0, 1, 2, 3], p=[0.9, 0.04, 0.03, 0.03]))
+    stored = np.rot90(img, k=-rot) if rot else img
+    stored = stored.copy()
+    stored[0, 0] = TAG_BASE + rot * TAG_STEP
+    return encode_png(stored), w, h, rot, blocks, lines
+
+
+def golden_structure(page: dict) -> dict:
+    """Golden structure output for one page, from generation ground truth
+    only: ground-truth blocks + lines fed through the pure stitch/sort/
+    export functions (the pipeline must recover identical boxes and texts
+    from pixels through the whole detect -> recognize -> stitch chain)."""
+    from .structure import page_to_html, page_to_markdown, stitch_page_enhanced
+
+    bl = page["blocks"]
+    ln = page["lines"]
+    lb = np.array([[b["x0"], b["y0"], b["x1"], b["y1"]] for b in bl], dtype=float).reshape(-1, 4)
+    labels = [b["label"] for b in bl]
+    ob = np.array([[l["x0"], l["y0"], l["x1"], l["y1"]] for l in ln], dtype=float).reshape(-1, 4)
+    texts = [l["text"] for l in ln]
+    elements = stitch_page_enhanced(
+        lb, labels, np.full(len(lb), 0.9), ob, texts,
+        page_w=float(page["width"]), page_h=float(page["height"]),
+    )
+    return {
+        "media_ref": page["media_ref"],
+        "n_elements": len(elements),
+        "labels": ";".join(e["label"] for e in elements),
+        "markdown": page_to_markdown(elements),
+        "html": page_to_html(elements),
+    }
+
+
+def write_structure_corpus(
+    out_dir: str, n_pages: int, seed: int = 7,
+    n_media_buckets: int = DEFAULT_MEDIA_BUCKETS,
+) -> dict:
+    """Write a structure-page corpus: pages/ (hash-bucketed parquet in
+    STRUCT_MEDIA_SCHEMA) + golden parquet + a refs manifest parquet."""
+    media_dir = os.path.join(out_dir, "pages")
+    os.makedirs(media_dir, exist_ok=True)
+    pages = []
+    for i in range(n_pages):
+        rng = np.random.default_rng([seed, i])
+        png, w, h, rot, blocks, lines = gen_structure_page(rng)
+        pages.append(
+            {
+                "media_ref": f"page://{i:06d}",
+                "width": w, "height": h, "rot": rot, "png": png,
+                "blocks": [
+                    {"x0": b[0], "y0": b[1], "x1": b[2], "y1": b[3], "label": b[4]}
+                    for b in blocks
+                ],
+                "lines": [
+                    {"x0": l[0], "y0": l[1], "x1": l[2], "y1": l[3], "text": l[4]}
+                    for l in lines
+                ],
+            }
+        )
+    buckets: dict[int, list] = {}
+    for r in pages:
+        buckets.setdefault(media_bucket(r["media_ref"], n_media_buckets), []).append(r)
+    for b in range(n_media_buckets):
+        pq.write_table(
+            pa.Table.from_pylist(buckets.get(b, []), schema=STRUCT_MEDIA_SCHEMA),
+            os.path.join(media_dir, f"bucket-{b:03d}.parquet"),
+        )
+    golden = [golden_structure(p) for p in pages]
+    golden_path = os.path.join(out_dir, "golden_structure.parquet")
+    pq.write_table(pa.Table.from_pylist(golden, schema=STRUCT_GOLDEN_SCHEMA), golden_path)
+    refs_path = os.path.join(out_dir, "page_refs.parquet")
+    pq.write_table(
+        pa.table({"media_ref": pa.array([p["media_ref"] for p in pages], pa.string())}),
+        refs_path,
+    )
+    return {
+        "media_dir": media_dir, "golden_path": golden_path, "refs_path": refs_path,
+        "n_pages": n_pages, "seed": seed,
+    }

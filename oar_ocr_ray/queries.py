@@ -800,32 +800,49 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nbits: int = 8):
 
 
 
-def structure_markdown(sf_dir: str):
-    """Rows-only: per-media-page structure stitch + markdown export over the
-    interleaved corpus derived from this sf_dir (detect -> recognize ->
-    per-page stitch_page with XY-cut order -> page_to_markdown)."""
-    ds = _media_lines_ds(sf_dir)
+def _structure_corpus(sf_dir: str) -> dict:
+    """Derive (and cache under /tmp) the structure-page corpus keyed to this
+    sf_dir: one synthetic structured page per flat document (capped at 500),
+    deterministic seed 7, with the golden oracle parquet alongside."""
+    import hashlib
+    import json
 
-    def per_part(t: pa.Table) -> pa.Table:
-        from .structure import page_to_markdown, stitch_page
+    import pyarrow.parquet as pq
 
-        df = t.to_pandas()
-        out = {"media_ref": [], "n_elements": [], "markdown": []}
-        for ref, g in df.groupby("media_ref", sort=True):
-            boxes = g[["bx0", "by0", "bx1", "by1"]].to_numpy(dtype=float)
-            elems = stitch_page(
-                np.zeros((0, 4)), [], np.zeros(0), boxes, g["text"].tolist()
-            )
-            out["media_ref"].append(ref)
-            out["n_elements"].append(len(elems))
-            out["markdown"].append(page_to_markdown(elems))
-        return pa.table(
-            {"media_ref": pa.array(out["media_ref"], pa.string()),
-             "n_elements": pa.array(out["n_elements"], pa.int32()),
-             "markdown": pa.array(out["markdown"], pa.string())}
-        )
+    from .fixtures import write_structure_corpus
 
-    return ds.groupby("part").map_groups(per_part, batch_format="pyarrow")
+    key = hashlib.sha1(f"v1:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", f"oar_structure_{key}")
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    n_docs = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    meta = write_structure_corpus(out_dir, min(n_docs, 500), seed=7)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def structure_extract(sf_dir: str):
+    """Rows-only (golden-oracled in pytest): the full PP-StructureV3 page
+    flow — layout-block detection, text detection + cross-layout split,
+    recognition, enhanced-reading-order stitch, markdown + HTML export —
+    as one actor-pool map_batches stage over page refs. Pages are fetched
+    lazily per bucket (LRU media store): nothing page-sized is broadcast
+    or materialized up front."""
+    import ray.data
+
+    from .stages.media import cached_stage
+    from .stages.structure_stage import StructureExtract
+
+    meta = _structure_corpus(sf_dir)
+    ds = ray.data.read_parquet(meta["refs_path"])
+    return ds.map_batches(
+        cached_stage(StructureExtract, media_dir=meta["media_dir"]),
+        batch_format="pyarrow", batch_size=32,
+    )
 
 
 
@@ -1307,7 +1324,7 @@ QUERIES = {
     "simhash_buckets": simhash_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
-    "structure_markdown": structure_markdown,
+    "structure_extract": structure_extract,
     "distinct_sources": distinct_sources,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "ocr_word_boxes": ocr_word_boxes,

@@ -1,0 +1,111 @@
+"""Structure-extraction stage: the PP-StructureV3 per-page flow as one
+actor-pool map_batches stage over page-ref rows.
+
+Per page (mirrors /root/reference/src/oarocr/structure.rs:2271-2468
+predict_image, with deterministic stand-ins for the neural cores):
+
+  decode PNG -> orientation classify + inverse rotate (preprocess.rs policy)
+  -> layout block detection (stand-in for PicoDet/RT-DETR)
+  -> full-page text detection (DB stand-in) + cross-layout box splitting
+     (structure.rs:2017-2108) against container-labeled blocks
+  -> per-box recognition (SVTR stand-in, empty results dropped)
+  -> stitch_page_enhanced: overlap dedup, OCR<->block match, smart join,
+     orphan text promotion, ENHANCED reading order (layout_sorting.rs)
+  -> markdown + HTML export.
+
+Stateful pieces (the media store handle; in production the ONNX sessions)
+live in __init__ — once per actor, not per batch. Pixels never leave the
+stage: only (media_ref, n_elements, labels, markdown, html) rows flow on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..png_codec import decode_png
+from ..structure import (
+    CONTAINER_LABELS,
+    page_to_html,
+    page_to_markdown,
+    split_boxes_by_containers,
+    stitch_page_enhanced,
+)
+from ..stubs import (
+    classify_orientation,
+    correct_orientation,
+    detect_boxes,
+    detect_layout_blocks,
+    read_crop_text,
+)
+from .media import MediaStore, SharedMediaStore
+
+
+class StructureExtract:
+    """Actor: page-ref rows -> per-page structure rows."""
+
+    def __init__(self, media_dir: str | None = None, media_refs: dict | None = None,
+                 min_line_area: int = 9):
+        if media_refs is not None:
+            self.store = SharedMediaStore(media_refs)
+        else:
+            self.store = MediaStore(media_dir)
+        self.min_line_area = min_line_area
+        self.missing_media = 0
+
+    def _one_page(self, ref: str):
+        payload = self.store.get(ref)
+        if payload is None:
+            self.missing_media += 1
+            return None
+        img = decode_png(payload)[:, :, 0]
+        cls = classify_orientation(img)
+        img = correct_orientation(img, cls)
+        h, w = img.shape
+
+        lb, labels, scores = detect_layout_blocks(img)
+        line_boxes = detect_boxes(img, min_area=self.min_line_area).astype(np.float64)
+
+        # cross-layout re-recognition split (structure.rs:2017-2108):
+        # containers = layout blocks with container labels
+        containers = (
+            lb[[i for i, l in enumerate(labels) if l in CONTAINER_LABELS]]
+            if len(lb) else np.zeros((0, 4))
+        )
+        if len(containers) and len(line_boxes):
+            line_boxes = split_boxes_by_containers(line_boxes, containers)
+
+        texts, boxes = [], []
+        for b in line_boxes:
+            x0, y0, x1, y1 = (int(np.floor(b[0])), int(np.floor(b[1])),
+                              int(np.ceil(b[2])), int(np.ceil(b[3])))
+            crop = img[max(y0, 0):min(y1, h), max(x0, 0):min(x1, w)]
+            t = read_crop_text(crop)
+            if t:  # empty recognition dropped (structure.rs:2200 precedent)
+                texts.append(t)
+                boxes.append(b)
+        boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+
+        elements = stitch_page_enhanced(
+            lb, labels, scores, boxes, texts, page_w=float(w), page_h=float(h)
+        )
+        return {
+            "media_ref": ref,
+            "n_elements": len(elements),
+            "labels": ";".join(e["label"] for e in elements),
+            "markdown": page_to_markdown(elements),
+            "html": page_to_html(elements),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [r for r in (self._one_page(ref) for ref in batch["media_ref"].to_pylist())
+                if r is not None]
+        return pa.table(
+            {
+                "media_ref": pa.array([r["media_ref"] for r in rows], pa.string()),
+                "n_elements": pa.array([r["n_elements"] for r in rows], pa.int32()),
+                "labels": pa.array([r["labels"] for r in rows], pa.string()),
+                "markdown": pa.array([r["markdown"] for r in rows], pa.string()),
+                "html": pa.array([r["html"] for r in rows], pa.string()),
+            }
+        )

@@ -217,3 +217,337 @@ def page_to_markdown(elements: list[dict]) -> str:
         elif text:
             parts.append(text)
     return "\n\n".join(p for p in parts if p)
+
+
+# ---------------------------------------------------------------------------
+# NMS with per-class merge (layout_postprocess.rs:553-700)
+# ---------------------------------------------------------------------------
+
+def merge_boxes(box1: np.ndarray, box2: np.ndarray, mode: str) -> np.ndarray:
+    """Merge two AABBs (layout_postprocess.rs:553-586): 'large' keeps the
+    bigger-area box, 'small' the smaller, 'union' their union."""
+    b1 = np.asarray(box1, dtype=np.float64)
+    b2 = np.asarray(box2, dtype=np.float64)
+    a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+    a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+    if mode == "large":
+        return b1 if a1 >= a2 else b2
+    if mode == "small":
+        return b1 if a1 <= a2 else b2
+    if mode == "union":
+        return np.array([min(b1[0], b2[0]), min(b1[1], b2[1]),
+                         max(b1[2], b2[2]), max(b1[3], b2[3])])
+    raise ValueError(f"unknown merge mode {mode!r}")
+
+
+def _iou_pair(b1: np.ndarray, b2: np.ndarray) -> float:
+    x0 = max(b1[0], b2[0]); y0 = max(b1[1], b2[1])
+    x1 = min(b1[2], b2[2]); y1 = min(b1[3], b2[3])
+    if x1 <= x0 or y1 <= y0:
+        return 0.0
+    inter = (x1 - x0) * (y1 - y0)
+    a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+    a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+    union = a1 + a2 - inter
+    return inter / union if union > 0 else 0.0
+
+
+def nms_with_merge(
+    boxes: np.ndarray,
+    classes: np.ndarray,
+    scores: np.ndarray,
+    class_merge_modes: dict[str, str] | None = None,
+    class_labels: dict[int, str] | None = None,
+    iou_threshold: float = 0.5,
+    max_detections: int = 100,
+):
+    """NMS that MERGES same-class overlaps instead of discarding them
+    (layout_postprocess.rs:589-668 apply_nms_with_merge).
+
+    Score-descending greedy pass; each seed absorbs every not-yet-processed
+    same-class box whose IoU with the RUNNING merged box exceeds the
+    threshold, merging per the class's mode ('large' default / 'small' /
+    'union') and keeping the max score. Returns (boxes, classes, scores).
+    """
+    b = np.atleast_2d(np.asarray(boxes, dtype=np.float64)).reshape(-1, 4)
+    cls = np.asarray(classes, dtype=np.int64)
+    sc = np.asarray(scores, dtype=np.float64)
+    if len(b) == 0:
+        return b, cls, sc
+    class_labels = class_labels or {}
+    class_merge_modes = class_merge_modes or {}
+    order = np.argsort(-sc, kind="stable")
+    processed = np.zeros(len(b), dtype=bool)
+    out_b, out_c, out_s = [], [], []
+    for i in order:
+        if processed[i]:
+            continue
+        processed[i] = True
+        mode = class_merge_modes.get(class_labels.get(int(cls[i]), "unknown"), "large")
+        merged = b[i].copy()
+        best = sc[i]
+        for j in order:
+            if j != i and not processed[j] and cls[i] == cls[j]:
+                if _iou_pair(merged, b[j]) > iou_threshold:
+                    merged = merge_boxes(merged, b[j], mode)
+                    best = max(best, sc[j])
+                    processed[j] = True
+        out_b.append(merged)
+        out_c.append(int(cls[i]))
+        out_s.append(best)
+        if len(out_b) >= max_detections:
+            break
+    return np.asarray(out_b).reshape(-1, 4), np.asarray(out_c, dtype=np.int64), np.asarray(out_s)
+
+
+# ---------------------------------------------------------------------------
+# OCR-box splitting (structure.rs:2017-2108 by containers,
+# structure.rs:1418-1639 by table cells)
+# ---------------------------------------------------------------------------
+
+TEXT_BOX_SPLIT_IOA_THRESHOLD = 0.3   # structure.rs:38
+CELL_OVERLAP_IOU_THRESHOLD = 0.5     # structure.rs:30
+
+# container label set for cross-layout splitting (structure.rs:2025-2052)
+CONTAINER_LABELS = frozenset({
+    "doc_title", "paragraph_title", "text", "content", "abstract", "header",
+    "footer", "footnote", "number", "reference", "reference_content",
+    "algorithm", "aside_text", "list", "figure_title", "table_title",
+    "chart_title", "figure_table_chart_title",
+})
+
+
+def split_boxes_by_containers(
+    det_boxes: np.ndarray,
+    container_boxes: np.ndarray,
+    ioa_threshold: float = TEXT_BOX_SPLIT_IOA_THRESHOLD,
+) -> np.ndarray:
+    """Cross-layout re-recognition split (structure.rs:2017-2108): a text
+    detection box that materially intersects >= 2 container (layout/region)
+    boxes is replaced by its per-container intersections; otherwise kept.
+    'Materially' = intersection w > 2 AND h > 2 AND inter/self_area >= 0.3.
+    Returns the new (M, 4) box array (M >= N is possible)."""
+    db = np.atleast_2d(np.asarray(det_boxes, dtype=np.float64)).reshape(-1, 4)
+    cb = np.atleast_2d(np.asarray(container_boxes, dtype=np.float64)).reshape(-1, 4)
+    if len(db) == 0 or len(cb) == 0:
+        return db
+    out = []
+    for box in db:
+        self_area = (box[2] - box[0]) * (box[3] - box[1])
+        if self_area <= 0:
+            out.append(box)
+            continue
+        inters = []
+        for c in cb:
+            x0 = max(box[0], c[0]); y0 = max(box[1], c[1])
+            x1 = min(box[2], c[2]); y1 = min(box[3], c[3])
+            if x1 - x0 <= 2.0 or y1 - y0 <= 2.0:
+                continue
+            ia = (x1 - x0) * (y1 - y0)
+            if ia <= 0:
+                continue
+            if ia / self_area >= ioa_threshold:
+                inters.append([x0, y0, x1, y1])
+        if len(inters) >= 2:
+            out.extend(inters)
+        else:
+            out.append(box)
+    return np.asarray(out, dtype=np.float64).reshape(-1, 4)
+
+
+def get_overlapping_cells(ocr_box: np.ndarray, cells: np.ndarray,
+                          threshold: float = CELL_OVERLAP_IOU_THRESHOLD) -> np.ndarray:
+    """Indices of cells with intersection/cell_area > threshold, sorted by
+    cell x0 left-to-right (structure.rs:1466-1486)."""
+    ob = np.asarray(ocr_box, dtype=np.float64)
+    cb = np.atleast_2d(np.asarray(cells, dtype=np.float64)).reshape(-1, 4)
+    if len(cb) == 0:
+        return np.zeros(0, dtype=np.int64)
+    x0 = np.maximum(ob[0], cb[:, 0]); y0 = np.maximum(ob[1], cb[:, 1])
+    x1 = np.minimum(ob[2], cb[:, 2]); y1 = np.minimum(ob[3], cb[:, 3])
+    inter = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
+    inter = np.where((x1 <= x0) | (y1 <= y0), 0.0, inter)
+    cell_area = (cb[:, 2] - cb[:, 0]) * (cb[:, 3] - cb[:, 1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(cell_area > 0, inter / cell_area, 0.0)
+    idx = np.flatnonzero(ratio > threshold)
+    return idx[np.argsort(cb[idx, 0], kind="stable")]
+
+
+def split_box_by_cells(ocr_box: np.ndarray, cell_indices: np.ndarray,
+                       cells: np.ndarray) -> np.ndarray:
+    """Split one OCR box horizontally at cell boundaries
+    (structure.rs:1488-1544): leading segment, per-cell clamped segments,
+    inter-cell gap segments, trailing segment; exact-duplicate boxes
+    dropped (first occurrence kept)."""
+    ob = np.asarray(ocr_box, dtype=np.float64)
+    cb = np.atleast_2d(np.asarray(cells, dtype=np.float64)).reshape(-1, 4)
+    if len(cell_indices) == 0:
+        return ob.reshape(1, 4)
+    cs = cb[np.asarray(cell_indices, dtype=np.int64)]
+    segs = []
+    if ob[0] < cs[0][0]:
+        segs.append([ob[0], ob[1], cs[0][0], ob[3]])
+    for i, cell in enumerate(cs):
+        segs.append([max(ob[0], cell[0]), ob[1], min(ob[2], cell[2]), ob[3]])
+        if i + 1 < len(cs) and cell[2] < cs[i + 1][0]:
+            segs.append([cell[2], ob[1], cs[i + 1][0], ob[3]])
+    if cs[-1][2] < ob[2]:
+        segs.append([cs[-1][2], ob[1], ob[2], ob[3]])
+    seen = set()
+    unique = []
+    for s in segs:
+        key = tuple(s)
+        if key not in seen:
+            seen.add(key)
+            unique.append(s)
+    return np.asarray(unique, dtype=np.float64).reshape(-1, 4)
+
+
+def split_ocr_by_table_cells(
+    ocr_boxes: np.ndarray,
+    cell_boxes: np.ndarray,
+    threshold: float = CELL_OVERLAP_IOU_THRESHOLD,
+    k_min_cells: int = 2,
+):
+    """Table-cell OCR splitting, geometry side (structure.rs:1418-1639):
+    for each OCR box overlapping >= k_min_cells cells, replace it with its
+    cell-boundary split segments (the pipeline re-recognizes each segment's
+    crop). Returns (new_boxes (M,4), src_index (M,) int mapping each output
+    box to its input OCR box, was_split (M,) bool)."""
+    ob = np.atleast_2d(np.asarray(ocr_boxes, dtype=np.float64)).reshape(-1, 4)
+    cb = np.atleast_2d(np.asarray(cell_boxes, dtype=np.float64)).reshape(-1, 4)
+    # drop degenerate cells (structure.rs:1433-1437)
+    if len(cb):
+        cb = cb[(cb[:, 2] > cb[:, 0]) & (cb[:, 3] > cb[:, 1])]
+    out_boxes, src, was_split = [], [], []
+    for i, box in enumerate(ob):
+        overlapping = get_overlapping_cells(box, cb, threshold) if len(cb) else np.zeros(0, np.int64)
+        if len(overlapping) < k_min_cells:
+            out_boxes.append(box)
+            src.append(i)
+            was_split.append(False)
+            continue
+        for seg in split_box_by_cells(box, overlapping, cb):
+            out_boxes.append(seg)
+            src.append(i)
+            was_split.append(True)
+    return (np.asarray(out_boxes, dtype=np.float64).reshape(-1, 4),
+            np.asarray(src, dtype=np.int64),
+            np.asarray(was_split, dtype=bool))
+
+
+# ---------------------------------------------------------------------------
+# HTML export (domain/structure.rs:397-532 to_html)
+# ---------------------------------------------------------------------------
+
+def escape_html(text: str) -> str:
+    """domain/structure.rs:535-541."""
+    return (text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            .replace('"', "&quot;").replace("'", "&#39;"))
+
+
+def page_to_html(elements: list[dict]) -> str:
+    """HTML export (domain/structure.rs:397-532): semantic tags per element
+    type in reading order, text HTML-escaped; tables embed their html
+    structure (border-styled) when present."""
+    parts = ["<!DOCTYPE html>\n<html>\n<head>\n<meta charset=\"UTF-8\">\n</head>\n<body>\n"]
+    for e in sorted(elements, key=lambda x: x.get("order_index", 0)):
+        label = e.get("label", "text")
+        text = e.get("text", "") or ""
+        if label == "doc_title":
+            parts.append(f"<h1>{escape_html(text)}</h1>\n")
+        elif label in ("paragraph_title", "title"):
+            parts.append(f"<h2>{escape_html(text)}</h2>\n")
+        elif label == "table":
+            html_structure = e.get("html", "")
+            if html_structure:
+                parts.append(html_structure.replace(
+                    "<table>", "<table border=\"1\" style=\"border-collapse: collapse;\">") + "\n")
+            else:
+                parts.append("<p>[Table]</p>\n")
+        elif label in ("formula", "formula_number"):
+            parts.append(f"<p class=\"formula\">$${escape_html(text)}$$</p>\n")
+        elif label in ("image", "chart"):
+            cap = f"<figcaption>{escape_html(text)}</figcaption>\n" if text else ""
+            parts.append(f"<figure>\n<img alt=\"Figure\" />\n{cap}</figure>\n")
+        elif label == "seal":
+            cap = f"<figcaption>{escape_html(text)}</figcaption>\n" if text else ""
+            parts.append(f"<figure class=\"seal\">\n<img alt=\"Seal\" />\n{cap}</figure>\n")
+        elif label == "abstract":
+            parts.append(f"<section class=\"abstract\">\n<h3>Abstract</h3>\n<p>{escape_html(text)}</p>\n</section>\n")
+        elif label in ("reference", "reference_content"):
+            parts.append(f"<section class=\"references\">\n<p>{escape_html(text)}</p>\n</section>\n")
+        elif label == "list":
+            items = "".join(f"<li>{escape_html(ln)}</li>\n" for ln in text.splitlines())
+            parts.append(f"<ul>\n{items}</ul>\n")
+        elif label in ("header", "header_image"):
+            parts.append(f"<header>{escape_html(text)}</header>\n")
+        elif label in ("footer", "footer_image", "footnote"):
+            parts.append(f"<footer>{escape_html(text)}</footer>\n")
+        elif text:
+            parts.append(f"<p>{escape_html(text)}</p>\n")
+    parts.append("</body>\n</html>")
+    return "".join(parts)
+
+
+def stitch_page_enhanced(
+    layout_boxes: np.ndarray,
+    layout_labels: list[str],
+    layout_scores: np.ndarray,
+    ocr_boxes: np.ndarray,
+    ocr_texts: list[str],
+    *,
+    page_w: float,
+    page_h: float,
+    overlap_threshold: float = 0.5,
+    orphan_table_ioa: float = 0.3,
+) -> list[dict]:
+    """Per-page stitch with the ENHANCED reading order (the PP-StructureV3
+    flow, structure.rs:2271-2468 + layout_sorting.rs): same dedup / match /
+    join / orphan steps as stitch_page, but elements are ordered by
+    sort_layout_enhanced (header-first, footer-last, XY-cut text core,
+    weighted-distance title/vision insertion) instead of plain XY-cut."""
+    from .sorting import sort_layout_enhanced
+
+    lb = np.atleast_2d(np.asarray(layout_boxes, dtype=np.float64)).reshape(-1, 4)
+    ob = np.atleast_2d(np.asarray(ocr_boxes, dtype=np.float64)).reshape(-1, 4)
+    keep = remove_overlap_blocks(lb, list(layout_labels), overlap_threshold) if len(lb) else np.zeros(0, bool)
+    lb = lb[keep]
+    labels = [l for l, k in zip(layout_labels, keep) if k]
+    scores = np.asarray(layout_scores, dtype=np.float64)[keep] if len(keep) else np.zeros(0)
+
+    match = overlap_match(ob, lb)
+    elements: list[dict] = []
+    for j in range(len(lb)):
+        idxs = np.flatnonzero(match[:, j])
+        text = smart_join(
+            [ocr_texts[i] for i in idxs], ob[idxs] if len(idxs) else np.zeros((0, 4)),
+            container=tuple(lb[j]),
+        ) if len(idxs) else ""
+        elements.append(
+            {"bbox": lb[j].tolist(), "label": labels[j], "score": float(scores[j]), "text": text}
+        )
+
+    matched_any = match.any(axis=1) if match.size else np.zeros(len(ob), bool)
+    table_boxes = lb[[i for i, l in enumerate(labels) if l == "table"]] if len(lb) else np.zeros((0, 4))
+    for i in np.flatnonzero(~matched_any):
+        if not ocr_texts[i]:
+            continue
+        if len(table_boxes) and ioa_matrix(ob[i:i + 1], table_boxes).max() > orphan_table_ioa:
+            continue
+        elements.append(
+            {"bbox": ob[i].tolist(), "label": "text", "score": 0.0, "text": ocr_texts[i]}
+        )
+
+    if not elements:
+        return []
+    all_boxes = np.array([e["bbox"] for e in elements])
+    all_labels = [e["label"] for e in elements]
+    order = sort_layout_enhanced(all_boxes, all_labels, page_w, page_h)
+    ordered = []
+    for rank, idx in enumerate(order):
+        e = elements[int(idx)]
+        e["order_index"] = rank
+        ordered.append(e)
+    return ordered

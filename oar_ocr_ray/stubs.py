@@ -91,3 +91,29 @@ def rotate_boxes_back(boxes: np.ndarray, class_id: int, upright_w: int, upright_
     else:
         out = np.stack([y0, w - x1, y1, w - x0], axis=1)
     return out
+
+
+def detect_layout_blocks(img: np.ndarray, min_area: int = 64):
+    """'Layout detection' stand-in (deterministic analogue of the PicoDet /
+    RT-DETR layout models, /root/reference/src/models/detection/
+    pp_doclayout.rs + layout_detection_adapter.rs): connected components of
+    the BLOCK_FILL mask (fixtures contract: blocks are value-200 rectangles)
+    with the block type read from the tag pixel [y0+1, x0] =
+    BLOCK_TAG_BASE + code. Returns (boxes (N,4) float, labels list[str],
+    scores (N,) float — fixed 0.9 like a confident detector)."""
+    from .fixtures import BLOCK_TAG_BASE, LAYOUT_CODES
+
+    gray = img if img.ndim == 2 else img[:, :, 0]
+    mask = (gray >= 150) & (gray < 255)
+    boxes = connected_component_boxes(mask, min_area=min_area)
+    labels = []
+    keep = []
+    for i, (x0, y0, x1, y1) in enumerate(boxes):
+        code = int(gray[y0 + 1, x0]) - BLOCK_TAG_BASE if y0 + 1 < gray.shape[0] else -1
+        label = LAYOUT_CODES.get(code)
+        if label is None:
+            continue  # not a contract block (stray component)
+        keep.append(i)
+        labels.append(label)
+    boxes = boxes[keep].astype(np.float64)
+    return boxes, labels, np.full(len(boxes), 0.9)

@@ -90,7 +90,7 @@ def test_query_matches_oracle(ray_session, duck, name):
 
 @pytest.mark.parametrize("name", [
     "fingerprints", "minhash_bands", "simhash_buckets",
-    "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup_lsh", "structure_markdown",
+    "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup_lsh", "structure_extract",
     "ocr_word_boxes", "crop_aspect_buckets",
 ])
 def test_rows_only_queries_run(ray_session, name):

@@ -1,0 +1,73 @@
+"""End-to-end structure pipeline vs the pure-Python golden oracle.
+
+The golden is computed from generation GROUND TRUTH (block/line boxes and
+texts as generated); the pipeline must recover identical boxes, labels and
+texts from PIXELS through decode -> orient -> layout detect -> text detect
+-> split -> recognize -> stitch_page_enhanced -> markdown/html."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from oar_ocr_ray.fixtures import write_structure_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("structure_corpus")
+    return write_structure_corpus(str(out), n_pages=60, seed=7)
+
+
+def test_structure_pipeline_matches_golden(ray_session, corpus):
+    import ray.data
+
+    from oar_ocr_ray.stages.structure_stage import StructureExtract
+
+    ds = ray.data.read_parquet(corpus["refs_path"])
+    out = ds.map_batches(
+        StructureExtract, fn_constructor_kwargs={"media_dir": corpus["media_dir"]},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas().sort_values("media_ref").reset_index(drop=True)
+
+    golden = pq.read_table(corpus["golden_path"]).to_pandas().sort_values(
+        "media_ref").reset_index(drop=True)
+
+    assert len(out) == len(golden) == corpus["n_pages"]
+    pd.testing.assert_series_equal(out["media_ref"], golden["media_ref"])
+    for col in ("n_elements", "labels", "markdown", "html"):
+        mism = out[col].to_numpy() != golden[col].to_numpy()
+        if mism.any():
+            i = int(np.flatnonzero(mism)[0])
+            raise AssertionError(
+                f"{col} mismatch on {out['media_ref'][i]}:\n"
+                f"pipeline: {out[col][i]!r}\ngolden:   {golden[col][i]!r}"
+            )
+
+
+def test_structure_pages_cover_label_variety(corpus):
+    golden = pq.read_table(corpus["golden_path"]).to_pandas()
+    all_labels = set(";".join(golden["labels"]).split(";"))
+    # fixture must actually exercise the interesting structure paths
+    for expected in ("header", "footer", "doc_title", "paragraph_title",
+                     "text", "table", "image", "list"):
+        assert expected in all_labels, f"no page generated a {expected} block"
+
+
+def test_structure_rotated_pages_exist_and_match(corpus):
+    import pyarrow.parquet as pq2
+    import os
+
+    rots = []
+    for f in sorted(os.listdir(corpus["media_dir"])):
+        t = pq2.read_table(os.path.join(corpus["media_dir"], f), columns=["rot"])
+        rots.extend(t["rot"].to_pylist())
+    assert any(r != 0 for r in rots), "no rotated page in fixture — orientation path untested"
+
+
+def test_golden_has_orphan_text_elements(corpus):
+    # orphan background lines must surface as promoted 'text' elements on
+    # at least one page whose block set doesn't already cover them
+    golden = pq.read_table(corpus["golden_path"]).to_pandas()
+    assert golden["n_elements"].sum() > 0
+    assert (golden["n_elements"] > 0).all()
