@@ -109,11 +109,18 @@ def order_quad_points(quad: np.ndarray) -> np.ndarray:
     q = np.asarray(quad, dtype=np.float64).reshape(4, 2)
     s = q.sum(axis=1)
     d = q[:, 1] - q[:, 0]
-    tl = q[np.argmin(s)]
-    br = q[np.argmax(s)]
-    tr = q[np.argmin(d)]
-    bl = q[np.argmax(d)]
-    return np.stack([tl, tr, br, bl])
+    idx = [int(np.argmin(s)), int(np.argmin(d)), int(np.argmax(s)), int(np.argmax(d))]
+    if len(set(idx)) == 4:
+        return q[idx]
+    # sum/diff is ambiguous for ~45°-rotated quads (a diamond selects the
+    # same point twice). Fall back to the reference's x-sort + y-compare
+    # ordering (transform.rs:124-140), which always yields a permutation:
+    # two leftmost points -> TL/BL by y, two rightmost -> TR/BR by y.
+    xs = np.argsort(q[:, 0], kind="stable")
+    left, right = xs[:2], xs[2:]
+    tl, bl = (left[0], left[1]) if q[left[0], 1] <= q[left[1], 1] else (left[1], left[0])
+    tr, br = (right[0], right[1]) if q[right[0], 1] <= q[right[1], 1] else (right[1], right[0])
+    return q[[tl, tr, br, bl]]
 
 
 def perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:

@@ -77,8 +77,12 @@ def build_extract_pipeline(
             num_cpus=1,
         )
     else:
+        if media_refs is not None:
+            det_stage = cached_stage(MediaDetect, media_refs=media_refs, cache_token=media_dir)
+        else:  # corpus too big to pin in the object store: lazy LRU lookups
+            det_stage = cached_stage(MediaDetect, media_dir=media_dir)
         ds = ds.map_batches(
-            cached_stage(MediaDetect, media_refs=media_refs, cache_token=media_dir),
+            det_stage,
             batch_format="pyarrow",
             batch_size=det_batch_size,
         )
@@ -140,16 +144,35 @@ def main(argv: list[str] | None = None) -> None:
 
 _MEDIA_REFS_CACHE: dict[str, dict] = {}
 
+# SharedMediaStore materializes the WHOLE media corpus into the object
+# store up front — a win while it fits (one parquet decode total, zero-copy
+# reads in every worker), an OOM at corpus scale. Above this budget the
+# pipeline falls back to the lazy per-actor LRU MediaStore (bounded memory,
+# point lookups against the bucketed store). Override via env for tests.
+SHARED_MEDIA_MAX_BYTES = int(os.environ.get("OAR_SHARED_MEDIA_MAX_BYTES", 2 << 30))
 
-def _media_refs_for(media_dir: str) -> dict:
+
+def _media_dir_bytes(media_dir: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(media_dir, f))
+        for f in os.listdir(media_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def _media_refs_for(media_dir: str) -> dict | None:
     """Bucket tables shared via the object store, put once per driver
-    (SharedMediaStore): zero-copy reads in every worker."""
+    (SharedMediaStore) — or None when the corpus exceeds
+    SHARED_MEDIA_MAX_BYTES and the lazy LRU store must be used instead."""
     from ..stages.media import SharedMediaStore
 
-    refs = _MEDIA_REFS_CACHE.get(media_dir)
-    if refs is None:
-        refs = SharedMediaStore.put_buckets(media_dir)
-        _MEDIA_REFS_CACHE[media_dir] = refs
+    if media_dir in _MEDIA_REFS_CACHE:
+        return _MEDIA_REFS_CACHE[media_dir]
+    if _media_dir_bytes(media_dir) > SHARED_MEDIA_MAX_BYTES:
+        _MEDIA_REFS_CACHE[media_dir] = None
+        return None
+    refs = SharedMediaStore.put_buckets(media_dir)
+    _MEDIA_REFS_CACHE[media_dir] = refs
     return refs
 
 
@@ -174,6 +197,17 @@ def run_extract(
 
     n_shards = min(n_shards, len(doc_files))
     shards = [sorted(doc_files)[i::n_shards] for i in range(n_shards)]
+    # Resume safety: the manifest keys on shard_id, which only identifies the
+    # same inputs if the file list and shard count are unchanged. A resumed
+    # run with different --shards/--docs would silently skip or re-process
+    # inputs — fail loudly instead.
+    for sid, rec in done.items():
+        if sid < len(shards) and rec.get("inputs") != shards[sid]:
+            raise RuntimeError(
+                f"resume mismatch: committed shard {sid} covered inputs "
+                f"{rec.get('inputs')} but this run computes {shards[sid]}; "
+                "re-run with the original --docs/--shards or use a fresh --out"
+            )
     processed = 0
     t_start = time.perf_counter()
     for sid, files in enumerate(shards):

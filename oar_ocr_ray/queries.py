@@ -185,7 +185,10 @@ LIMIT 10
 
 def q5_nation_revenue(sf_dir: str):
     """Hash-partitioned Dataset.join for the big-big edge (lineitem x
-    orders), broadcast maps for the small dimensions."""
+    orders), broadcast maps for the small dimensions. Join partitions scale
+    with the cluster (one per CPU, min 8) so the exchange doesn't bottleneck
+    on a fixed-width shuffle."""
+    import ray
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -194,10 +197,11 @@ def q5_nation_revenue(sf_dir: str):
     cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     joined = line.join(
-        orders, join_type="inner", num_partitions=8,
+        orders, join_type="inner", num_partitions=n_parts,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -225,6 +229,38 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
+
+
+def q5_nation_revenue_broadcast(sf_dir: str):
+    """q5 without ANY shuffle: the orderkey -> nation-name map (orders is
+    broadcast-sized relative to lineitem) is built once, ray.put once, and
+    probed per lineitem batch; partials reduce driver-side (25 rows). The
+    shuffle-join q5 demonstrates the big-x-big edge; this is the plan a
+    real optimizer picks when one side fits in memory."""
+    import ray
+
+    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    orders = pd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    okey_to_name = ray.put(
+        dict(zip(orders["o_orderkey"],
+                 orders["o_custkey"].map(cust_nation).map(nation_name)))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(okey_to_name)
+        name = df["l_orderkey"].map(lookup)
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = pd.DataFrame({"n_name": name, "rev": rev}).groupby(
+            "n_name", as_index=False, sort=False)["rev"].sum()
+        return g.rename(columns={"rev": "revenue"})
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    df = _reduce_small(line.map_batches(partial, batch_format="pandas"), ["n_name"], ["revenue"])
+    df["revenue"] = round_half_away(df["revenue"], 2)
+    return df
 
 
 def orders_per_customer_topk(sf_dir: str):
@@ -522,6 +558,42 @@ FROM documents
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------
 
+def _query_vectors(sf_dir: str, n_queries: int) -> pd.DataFrame:
+    """The n_queries lowest-vec_id embedding rows, WITHOUT a full-table
+    driver read: scan only the narrow vec_id column to pick ids, then read
+    embedding rows through a parquet row filter. (In production the query
+    set comes from the user; this derivation exists so the benchmark is
+    self-contained.)"""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id"])["vec_id"]
+    wanted = sorted(ids.to_pylist())[:n_queries]
+    t = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", wanted)],
+    )
+    return t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def _sample_embedding_matrix(sf_dir: str, max_rows: int = 4096) -> np.ndarray:
+    """Bounded sample for index fitting: read whole row groups until
+    max_rows vectors are collected — never the full table."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(_p(sf_dir, "embeddings"))
+    chunks = []
+    total = 0
+    for rg in range(f.num_row_groups):
+        t = f.read_row_group(rg, columns=["embedding"])
+        chunks.append(np.stack(t["embedding"].to_pandas().to_numpy()))
+        total += len(t)
+        if total >= max_rows:
+            break
+    m = np.concatenate(chunks, axis=0)[:max_rows]
+    return m.astype(np.float64)
+
+
 def ann_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
     """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
     matmul partials, tiny final reduce."""
@@ -529,8 +601,7 @@ def ann_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
 
     from .functions.ann import BruteForceScorer, topk_reduce
 
-    qdf = pd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    qdf = qdf.nsmallest(n_queries, "vec_id")
+    qdf = _query_vectors(sf_dir, n_queries)
     queries_ref = ray.put(
         {"ids": qdf["vec_id"].to_numpy(), "matrix": np.stack(qdf["embedding"].to_numpy())}
     )
@@ -774,10 +845,9 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nbits: int = 8):
 
     from .functions.ann import BruteForceScorer, HyperplaneLsh, topk_reduce, _normalize
 
-    emb = pd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    dim = len(emb["embedding"].iloc[0])
+    qdf = _query_vectors(sf_dir, n_queries)
+    dim = len(qdf["embedding"].iloc[0])
     lsh = HyperplaneLsh(dim, nbits=nbits)
-    qdf = emb.nsmallest(n_queries, "vec_id")
     qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
     qbuckets = lsh.bucket(qm)
     wanted = set(int(b) for b in qbuckets)
@@ -917,9 +987,12 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45, nbits: int = 4)
     computed per batch by a stateful signer (planes built ONCE in the actor
     constructor, not per batch), all-pairs verify only within buckets.
     Approximate: recall depends on nbits vs threshold angle."""
+    import pyarrow.parquet as pq
+
     from .functions.ann import HyperplaneLsh, _normalize, embedding_matrix
 
-    dim = len(pd.read_parquet(_p(sf_dir, "embeddings"), columns=["embedding"]).iloc[0, 0])
+    pf = pq.ParquetFile(_p(sf_dir, "embeddings"))
+    dim = len(pf.read_row_group(0, columns=["embedding"])["embedding"][0])
 
     class Bucketize:
         def __init__(self):
@@ -982,13 +1055,14 @@ def _media_lines_ds(sf_dir: str, emit_word_boxes: bool = False):
     spec.loader.exec_module(entry_mod)
     meta = entry_mod._interleaved_corpus(sf_dir)
     refs = _media_refs_for(meta["media_dir"])
+    if refs is not None:
+        det_stage = cached_stage(MediaDetect, media_refs=refs, cache_token=meta["media_dir"])
+    else:
+        det_stage = cached_stage(MediaDetect, media_dir=meta["media_dir"])
     ds = ray.data.read_parquet(meta["doc_files"], columns=["doc_id", "spans"])
     ds = ds.map_batches(make_explode_spans(32), batch_format="pyarrow")
     ds = ds.map_batches(strip_text_spans, batch_format="pyarrow")
-    ds = ds.map_batches(
-        cached_stage(MediaDetect, media_refs=refs, cache_token=meta["media_dir"]),
-        batch_format="pyarrow", batch_size=64,
-    )
+    ds = ds.map_batches(det_stage, batch_format="pyarrow", batch_size=64)
     ds = ds.map_batches(
         cached_stage(
             Recognize, emit_word_boxes=emit_word_boxes,
@@ -1256,16 +1330,16 @@ GROUP BY r.r_name
 
 
 def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nprobe: int = 4):
-    """Rows-only: IVF ANN — centroids fit driver-side on a sample, broadcast;
-    batches assign clusters vectorized; queries score only probed clusters."""
+    """Rows-only: IVF ANN — centroids fit driver-side on a BOUNDED row-group
+    sample (<=4096 vectors, never the full table), broadcast; batches assign
+    clusters vectorized; queries score only probed clusters."""
     import ray
 
     from .functions.ann import BruteForceScorer, IvfIndex, _normalize, topk_reduce
 
-    emb = pd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m = _sample_embedding_matrix(sf_dir, max_rows=4096)
     ivf = IvfIndex(n_clusters=min(16, max(2, len(m) // 32))).fit(m)
-    qdf = emb.nsmallest(n_queries, "vec_id")
+    qdf = _query_vectors(sf_dir, n_queries)
     qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
     probed = set(int(c) for row in ivf.probe(qm, nprobe) for c in row)
     queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": qm})
@@ -1300,6 +1374,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
+    "q5_nation_revenue_broadcast": q5_nation_revenue_broadcast,
     "q6_revenue": q6_revenue,
     "orders_per_customer_topk": orders_per_customer_topk,
     "filter_highvalue_orders": filter_highvalue_orders,
@@ -1339,6 +1414,7 @@ ORACLE_SQL = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
+    "q5_nation_revenue_broadcast": Q5_SQL,
     "q6_revenue": Q6_SQL,
     "orders_per_customer_topk": ORDERS_TOPK_SQL,
     "filter_highvalue_orders": FILTER_SQL,

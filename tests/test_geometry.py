@@ -160,3 +160,20 @@ def test_box_score_fast():
     bm[2:4, 2:6] = 1.0
     assert box_score_fast(bm, np.array([[2, 2], [6, 2], [6, 4], [2, 4]])) == 1.0
     assert box_score_fast(bm, np.array([[0, 0], [10, 0], [10, 10], [0, 10]])) == 0.08
+
+
+def test_order_quad_points_diamond_fallback():
+    # 45°-rotated quad: argmin(x+y) and argmin(y-x) both pick (1,0) — the
+    # sum/diff heuristic degenerates; the x-sort/y-compare fallback
+    # (transform.rs:124-140) must still return a permutation of the corners.
+    import numpy as np
+
+    from oar_ocr_ray.geometry import order_quad_points
+
+    q = np.array([[1.0, 0.0], [2.0, 1.0], [1.0, 2.0], [0.0, 1.0]])
+    ordered = order_quad_points(q)
+    assert sorted(map(tuple, ordered.tolist())) == sorted(map(tuple, q.tolist()))
+    # left pair split by y: TL=(0,1)? x-sort -> leftmost two are (0,1),(1,0)/(1,2)
+    # exact layout: TL/BL from two leftmost by y, TR/BR from two rightmost
+    tl, tr, br, bl = ordered
+    assert tl[0] <= br[0] or tl[1] <= br[1]
