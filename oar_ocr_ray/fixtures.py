@@ -415,7 +415,8 @@ def interleave_from_flat(
 # Structure-page fixtures: layout blocks + text lines + golden oracle
 # ---------------------------------------------------------------------------
 
-BLOCK_FILL = 200         # layout block background (>=150, <255: block mask)
+BLOCK_FILL = 200         # layout block background (>=195, <255: block mask)
+CELL_FILL = 170          # wired-table cell background (>=165, <195: cell mask)
 BLOCK_TAG_BASE = 140     # block tag pixel = BLOCK_TAG_BASE + type code
 LAYOUT_CODES = {
     1: "doc_title", 2: "paragraph_title", 3: "text", 4: "table",
@@ -427,6 +428,9 @@ STRUCT_BLOCK_STRUCT = pa.struct(
     [("x0", pa.int32()), ("y0", pa.int32()), ("x1", pa.int32()),
      ("y1", pa.int32()), ("label", pa.string())]
 )
+CELL_STRUCT = pa.struct(
+    [("x0", pa.int32()), ("y0", pa.int32()), ("x1", pa.int32()), ("y1", pa.int32())]
+)
 STRUCT_MEDIA_SCHEMA = pa.schema(
     [
         ("media_ref", pa.string()),
@@ -436,6 +440,7 @@ STRUCT_MEDIA_SCHEMA = pa.schema(
         ("png", pa.binary()),
         ("blocks", pa.list_(STRUCT_BLOCK_STRUCT)),
         ("lines", pa.list_(BOX_STRUCT)),
+        ("cells", pa.list_(CELL_STRUCT)),  # wired-table cell ground truth
     ]
 )
 STRUCT_GOLDEN_SCHEMA = pa.schema(
@@ -493,6 +498,30 @@ def gen_structure_page(rng: np.random.Generator):
     img = np.full((h, w), 255, dtype=np.uint8)
     blocks: list[tuple] = []
     lines: list[tuple] = []
+    cells: list[tuple] = []
+
+    def wired_table(x0, y0, x1, y1):
+        """Table block with a CELL_FILL grid inside (the 'wired' class);
+        ~70% of cells carry an encoded line."""
+        _draw_block(img, x0, y0, x1, y1, "table")
+        blocks.append((x0, y0, x1, y1, "table"))
+        ix0, iy0, ix1, iy1 = x0 + 3, y0 + 3, x1 - 3, y1 - 3
+        n_rows = int(rng.integers(2, 4))
+        n_cols = int(rng.integers(2, 4))
+        ch = (iy1 - iy0 - 2 * (n_rows - 1)) // n_rows
+        cw = (ix1 - ix0 - 2 * (n_cols - 1)) // n_cols
+        if ch < 11 or cw < 18:
+            return
+        for r in range(n_rows):
+            for c in range(n_cols):
+                cx0 = ix0 + c * (cw + 2)
+                cy0 = iy0 + r * (ch + 2)
+                img[cy0:cy0 + ch, cx0:cx0 + cw] = CELL_FILL
+                cells.append((cx0, cy0, cx0 + cw, cy0 + ch))
+                if rng.random() < 0.7:
+                    ln = _draw_line(img, rng, cx0 + 2, cy0 + 2, cx0 + cw - 2, cy0 + ch - 2)
+                    if ln is not None:
+                        lines.append(ln)
 
     def block_with_lines(x0, y0, x1, y1, label, n_lines):
         _draw_block(img, x0, y0, x1, y1, label)
@@ -529,7 +558,10 @@ def gen_structure_page(rng: np.random.Generator):
             blocks.append((x0, y, x1, y + bh, "image"))
         elif r < 0.40:
             bh = int(rng.integers(44, 70))
-            block_with_lines(10, y, w - 10, y + bh, "table", int(rng.integers(2, 4)))
+            if rng.random() < 0.6:  # 'wired' table: visible cell grid
+                wired_table(10, y, w - 10, y + bh)
+            else:  # 'wireless' table: lines only, no ruled cells
+                block_with_lines(10, y, w - 10, y + bh, "table", int(rng.integers(2, 4)))
         elif r < 0.50 and w >= 300:
             bh = int(rng.integers(40, 60))
             mid = w // 2
@@ -554,15 +586,21 @@ def gen_structure_page(rng: np.random.Generator):
     stored = np.rot90(img, k=-rot) if rot else img
     stored = stored.copy()
     stored[0, 0] = TAG_BASE + rot * TAG_STEP
-    return encode_png(stored), w, h, rot, blocks, lines
+    return encode_png(stored), w, h, rot, blocks, lines, cells
 
 
 def golden_structure(page: dict) -> dict:
     """Golden structure output for one page, from generation ground truth
-    only: ground-truth blocks + lines fed through the pure stitch/sort/
-    export functions (the pipeline must recover identical boxes and texts
-    from pixels through the whole detect -> recognize -> stitch chain)."""
-    from .structure import page_to_html, page_to_markdown, stitch_page_enhanced
+    only: ground-truth blocks + lines + cells fed through the pure
+    stitch/sort/table/export functions (the pipeline must recover identical
+    boxes and texts from pixels through the whole detect -> recognize ->
+    analyze -> stitch chain)."""
+    from .structure import (
+        compute_table_htmls,
+        page_to_html,
+        page_to_markdown,
+        stitch_page_enhanced,
+    )
 
     bl = page["blocks"]
     ln = page["lines"]
@@ -570,9 +608,15 @@ def golden_structure(page: dict) -> dict:
     labels = [b["label"] for b in bl]
     ob = np.array([[l["x0"], l["y0"], l["x1"], l["y1"]] for l in ln], dtype=float).reshape(-1, 4)
     texts = [l["text"] for l in ln]
+    cells = np.array(
+        [[c["x0"], c["y0"], c["x1"], c["y1"]] for c in page.get("cells") or []], dtype=float
+    ).reshape(-1, 4)
+
+    table_html = compute_table_htmls(lb, labels, cells, ob, texts)
     elements = stitch_page_enhanced(
         lb, labels, np.full(len(lb), 0.9), ob, texts,
         page_w=float(page["width"]), page_h=float(page["height"]),
+        table_html=table_html,
     )
     return {
         "media_ref": page["media_ref"],
@@ -581,6 +625,8 @@ def golden_structure(page: dict) -> dict:
         "markdown": page_to_markdown(elements),
         "html": page_to_html(elements),
     }
+
+
 
 
 def write_structure_corpus(
@@ -594,7 +640,7 @@ def write_structure_corpus(
     pages = []
     for i in range(n_pages):
         rng = np.random.default_rng([seed, i])
-        png, w, h, rot, blocks, lines = gen_structure_page(rng)
+        png, w, h, rot, blocks, lines, cells = gen_structure_page(rng)
         pages.append(
             {
                 "media_ref": f"page://{i:06d}",
@@ -606,6 +652,9 @@ def write_structure_corpus(
                 "lines": [
                     {"x0": l[0], "y0": l[1], "x1": l[2], "y1": l[3], "text": l[4]}
                     for l in lines
+                ],
+                "cells": [
+                    {"x0": c[0], "y0": c[1], "x1": c[2], "y1": c[3]} for c in cells
                 ],
             }
         )

@@ -33,9 +33,11 @@ from ..structure import (
 )
 from ..stubs import (
     classify_orientation,
+    classify_table,
     correct_orientation,
     detect_boxes,
     detect_layout_blocks,
+    detect_table_cells,
     read_crop_text,
 )
 from .media import MediaStore, SharedMediaStore
@@ -86,8 +88,23 @@ class StructureExtract:
                 boxes.append(b)
         boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
 
+        # table front half: classify wired/wireless, detect cells, analyze
+        # (table_classification.rs + table_cell_detection_adapter.rs +
+        # TableAnalyzer, with the deterministic stand-ins)
+        from ..structure import compute_table_htmls
+
+        all_cells = []
+        for j, label in enumerate(labels):
+            if label == "table" and classify_table(img, lb[j]) == "wired":
+                cells = detect_table_cells(img, lb[j])
+                if len(cells):
+                    all_cells.append(cells)
+        cells = np.concatenate(all_cells) if all_cells else np.zeros((0, 4))
+        table_html = compute_table_htmls(lb, labels, cells, boxes, texts)
+
         elements = stitch_page_enhanced(
-            lb, labels, scores, boxes, texts, page_w=float(w), page_h=float(h)
+            lb, labels, scores, boxes, texts, page_w=float(w), page_h=float(h),
+            table_html=table_html,
         )
         return {
             "media_ref": ref,

@@ -502,17 +502,23 @@ def stitch_page_enhanced(
     page_h: float,
     overlap_threshold: float = 0.5,
     orphan_table_ioa: float = 0.3,
+    table_html: list | None = None,
 ) -> list[dict]:
     """Per-page stitch with the ENHANCED reading order (the PP-StructureV3
     flow, structure.rs:2271-2468 + layout_sorting.rs): same dedup / match /
     join / orphan steps as stitch_page, but elements are ordered by
     sort_layout_enhanced (header-first, footer-last, XY-cut text core,
-    weighted-distance title/vision insertion) instead of plain XY-cut."""
+    weighted-distance title/vision insertion) instead of plain XY-cut.
+
+    table_html (aligned with layout_boxes, None per non-wired entry): a
+    wired table's analyzed HTML structure replaces the smart-joined text
+    (the markdown/html exporters embed it, stitching.rs table path)."""
     from .sorting import sort_layout_enhanced
 
     lb = np.atleast_2d(np.asarray(layout_boxes, dtype=np.float64)).reshape(-1, 4)
     ob = np.atleast_2d(np.asarray(ocr_boxes, dtype=np.float64)).reshape(-1, 4)
     keep = remove_overlap_blocks(lb, list(layout_labels), overlap_threshold) if len(lb) else np.zeros(0, bool)
+    orig_idx = np.flatnonzero(keep)
     lb = lb[keep]
     labels = [l for l, k in zip(layout_labels, keep) if k]
     scores = np.asarray(layout_scores, dtype=np.float64)[keep] if len(keep) else np.zeros(0)
@@ -521,13 +527,18 @@ def stitch_page_enhanced(
     elements: list[dict] = []
     for j in range(len(lb)):
         idxs = np.flatnonzero(match[:, j])
-        text = smart_join(
-            [ocr_texts[i] for i in idxs], ob[idxs] if len(idxs) else np.zeros((0, 4)),
-            container=tuple(lb[j]),
-        ) if len(idxs) else ""
-        elements.append(
-            {"bbox": lb[j].tolist(), "label": labels[j], "score": float(scores[j]), "text": text}
-        )
+        html = table_html[int(orig_idx[j])] if table_html is not None else None
+        if html:
+            text = html
+        else:
+            text = smart_join(
+                [ocr_texts[i] for i in idxs], ob[idxs] if len(idxs) else np.zeros((0, 4)),
+                container=tuple(lb[j]),
+            ) if len(idxs) else ""
+        e = {"bbox": lb[j].tolist(), "label": labels[j], "score": float(scores[j]), "text": text}
+        if html:
+            e["html"] = html
+        elements.append(e)
 
     matched_any = match.any(axis=1) if match.size else np.zeros(len(ob), bool)
     table_boxes = lb[[i for i, l in enumerate(labels) if l == "table"]] if len(lb) else np.zeros((0, 4))
@@ -551,3 +562,32 @@ def stitch_page_enhanced(
         e["order_index"] = rank
         ordered.append(e)
     return ordered
+
+
+def compute_table_htmls(lb, labels, cells, ob, texts):
+    """Per-layout-block wired-table HTML (None for non-tables / wireless
+    tables): the cells inside each table block plus the block's matched OCR
+    lines run through table.analyze_table. Shared by the golden oracle
+    (ground-truth inputs) and the pipeline stage (detected inputs)."""
+    from .table import analyze_table
+
+    lb = np.atleast_2d(np.asarray(lb, dtype=np.float64)).reshape(-1, 4)
+    cells = np.atleast_2d(np.asarray(cells, dtype=np.float64)).reshape(-1, 4)
+    ob = np.atleast_2d(np.asarray(ob, dtype=np.float64)).reshape(-1, 4)
+    table_html: list = [None] * len(lb)
+    if len(cells) == 0 or len(lb) == 0:
+        return table_html
+    match = overlap_match(ob, lb)
+    for j, label in enumerate(labels):
+        if label != "table":
+            continue
+        inside = (
+            (cells[:, 0] >= lb[j, 0]) & (cells[:, 1] >= lb[j, 1])
+            & (cells[:, 2] <= lb[j, 2]) & (cells[:, 3] <= lb[j, 3])
+        )
+        tcells = cells[inside]
+        if len(tcells) == 0:
+            continue  # wireless table: smart-join text path
+        idxs = np.flatnonzero(match[:, j]) if match.size else np.zeros(0, np.int64)
+        table_html[j] = analyze_table(tcells, ob[idxs], [texts[i] for i in idxs])
+    return table_html

@@ -104,7 +104,7 @@ def detect_layout_blocks(img: np.ndarray, min_area: int = 64):
     from .fixtures import BLOCK_TAG_BASE, LAYOUT_CODES
 
     gray = img if img.ndim == 2 else img[:, :, 0]
-    mask = (gray >= 150) & (gray < 255)
+    mask = (gray >= 195) & (gray < 255)  # BLOCK_FILL only; cells are < 195
     boxes = connected_component_boxes(mask, min_area=min_area)
     labels = []
     keep = []
@@ -117,3 +117,30 @@ def detect_layout_blocks(img: np.ndarray, min_area: int = 64):
         labels.append(label)
     boxes = boxes[keep].astype(np.float64)
     return boxes, labels, np.full(len(boxes), 0.9)
+
+
+def classify_table(img: np.ndarray, box) -> str:
+    """'Table classification' stand-in (reference
+    src/predictors/table_classification.rs wired/wireless classes): a table
+    crop containing ruled cell pixels (CELL_FILL band) is 'wired', else
+    'wireless'."""
+    gray = img if img.ndim == 2 else img[:, :, 0]
+    x0, y0, x1, y1 = (int(box[0]), int(box[1]), int(box[2]), int(box[3]))
+    crop = gray[max(y0, 0):y1, max(x0, 0):x1]
+    return "wired" if ((crop >= 165) & (crop < 195)).any() else "wireless"
+
+
+def detect_table_cells(img: np.ndarray, box, min_area: int = 32) -> np.ndarray:
+    """'Table cell detection' stand-in (reference
+    src/domain/adapters/table_cell_detection_adapter.rs RT-DETR cells):
+    connected components of the CELL_FILL mask within the table box,
+    reported in full-page coordinates."""
+    gray = img if img.ndim == 2 else img[:, :, 0]
+    x0, y0 = max(int(box[0]), 0), max(int(box[1]), 0)
+    crop = gray[y0:int(box[3]), x0:int(box[2])]
+    mask = (crop >= 165) & (crop < 195)
+    cells = connected_component_boxes(mask, min_area=min_area).astype(np.float64)
+    if len(cells):
+        cells[:, [0, 2]] += x0
+        cells[:, [1, 3]] += y0
+    return cells

@@ -71,3 +71,12 @@ def test_golden_has_orphan_text_elements(corpus):
     golden = pq.read_table(corpus["golden_path"]).to_pandas()
     assert golden["n_elements"].sum() > 0
     assert (golden["n_elements"] > 0).all()
+
+
+def test_golden_contains_wired_table_html(corpus):
+    golden = pq.read_table(corpus["golden_path"]).to_pandas()
+    wired = golden[golden["html"].str.contains('<table border="1"', regex=False)]
+    assert len(wired) > 0, "no wired table rendered in fixture corpus"
+    # cell content made it into the embedded table structure
+    joined = " ".join(wired["html"])
+    assert "<td>" in joined and "</td>" in joined
