@@ -420,7 +420,7 @@ CELL_FILL = 170          # wired-table cell background (>=165, <195: cell mask)
 BLOCK_TAG_BASE = 140     # block tag pixel = BLOCK_TAG_BASE + type code
 LAYOUT_CODES = {
     1: "doc_title", 2: "paragraph_title", 3: "text", 4: "table",
-    5: "image", 6: "header", 7: "footer", 8: "list",
+    5: "image", 6: "header", 7: "footer", 8: "list", 9: "seal",
 }
 LAYOUT_CODE_OF = {v: k for k, v in LAYOUT_CODES.items()}
 
@@ -547,7 +547,11 @@ def gen_structure_page(rng: np.random.Generator):
     body_end = h - 64
     while y < body_end - 72:  # every branch's max block height fits
         r = rng.random()
-        if r < 0.16:
+        if r < 0.07:  # seal: small square stamp block with one line
+            bh = int(rng.integers(30, 44))
+            x0 = int(rng.integers(8, w - bh - 24))
+            block_with_lines(x0, y, x0 + bh + 14, y + bh, "seal", 1)
+        elif r < 0.16:
             bh = 18
             block_with_lines(8, y, w - 8, y + bh, "paragraph_title", 1)
         elif r < 0.28:

@@ -214,6 +214,10 @@ def page_to_markdown(elements: list[dict]) -> str:
             parts.append("![image]()")
         elif label == "table":
             parts.append(text if text.startswith("<") else f"<table>{text}</table>")
+        elif label == "seal":  # structure.rs:327-335: image + blockquoted text
+            parts.append("![Seal]" + (f"\n> {text}" if text else ""))
+        elif label in ("formula", "formula_number"):  # structure.rs:309-316
+            parts.append(f"$${text}$$")
         elif text:
             parts.append(text)
     return "\n\n".join(p for p in parts if p)

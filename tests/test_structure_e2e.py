@@ -50,7 +50,7 @@ def test_structure_pages_cover_label_variety(corpus):
     all_labels = set(";".join(golden["labels"]).split(";"))
     # fixture must actually exercise the interesting structure paths
     for expected in ("header", "footer", "doc_title", "paragraph_title",
-                     "text", "table", "image", "list"):
+                     "text", "table", "image", "list", "seal"):
         assert expected in all_labels, f"no page generated a {expected} block"
 
 
