@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "extract_flagship",  # headline first (cleanest measurement)
     "q1_pricing_summary",
     "q5_nation_revenue",
+    "q5_nation_revenue_broadcast",
     "q6_revenue",
     "events_tumbling",
     "events_sessionize",
@@ -43,6 +44,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_bands",
     "ann_topk",
+    "lang_id",
+    "structure_extract",
 ]
 
 

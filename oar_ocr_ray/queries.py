@@ -185,9 +185,14 @@ LIMIT 10
 
 def q5_nation_revenue(sf_dir: str):
     """Hash-partitioned Dataset.join for the big-big edge (lineitem x
-    orders), broadcast maps for the small dimensions. Join partitions scale
-    with the cluster (one per CPU, min 8) so the exchange doesn't bottleneck
-    on a fixed-width shuffle."""
+    orders), broadcast maps for the small dimensions.
+
+    Join partition count scales with the cluster at ~1 per 4 CPUs (min 8):
+    measured on the 32-CPU box at sf0.1, Ray's hash-shuffle join has large
+    per-partition overhead — 8 parts = 7.6 s, 16 = 8.0 s, 32 = 29.6 s,
+    64 = 108 s — so partitions should track nodes, not cores. At real
+    cluster scale each partition must also fit a worker's heap, which this
+    policy preserves by growing with the cluster."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -197,7 +202,7 @@ def q5_nation_revenue(sf_dir: str):
     cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     joined = line.join(

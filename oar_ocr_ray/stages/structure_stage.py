@@ -26,9 +26,11 @@ import pyarrow as pa
 from ..png_codec import decode_png
 from ..structure import (
     CONTAINER_LABELS,
+    fallback_ocr_blocks,
     page_to_html,
     page_to_markdown,
     split_boxes_by_containers,
+    split_ocr_by_table_cells,
     stitch_page_enhanced,
 )
 from ..stubs import (
@@ -88,6 +90,15 @@ class StructureExtract:
                 boxes.append(b)
         boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
 
+        # layout-bbox fallback OCR (structure.rs:1337-1395): non-image
+        # blocks with no matched text get a whole-block recognition attempt
+        for j in fallback_ocr_blocks(lb, labels, boxes):
+            bx0, by0 = max(int(lb[j, 0]), 0), max(int(lb[j, 1]), 0)
+            t = read_crop_text(img[by0:int(lb[j, 3]), bx0:int(lb[j, 2])])
+            if t:
+                boxes = np.concatenate([boxes, lb[j:j + 1]])
+                texts.append(t)
+
         # table front half: classify wired/wireless, detect cells, analyze
         # (table_classification.rs + table_cell_detection_adapter.rs +
         # TableAnalyzer, with the deterministic stand-ins)
@@ -100,6 +111,26 @@ class StructureExtract:
                 if len(cells):
                     all_cells.append(cells)
         cells = np.concatenate(all_cells) if all_cells else np.zeros((0, 4))
+
+        # OCR split by table cells + re-recognition (structure.rs:1418-1639):
+        # a line spanning >= 2 cells is replaced by its per-cell segments
+        if len(cells) and len(boxes):
+            nb, src, was_split = split_ocr_by_table_cells(boxes, cells)
+            if was_split.any():
+                new_boxes, new_texts = [], []
+                for b, s, ws in zip(nb, src, was_split):
+                    if not ws:
+                        new_boxes.append(b)
+                        new_texts.append(texts[int(s)])
+                        continue
+                    sx0, sy0 = max(int(np.floor(b[0])), 0), max(int(np.floor(b[1])), 0)
+                    t = read_crop_text(img[sy0:int(np.ceil(b[3])), sx0:int(np.ceil(b[2]))])
+                    if t:
+                        new_boxes.append(b)
+                        new_texts.append(t)
+                boxes = np.asarray(new_boxes, dtype=np.float64).reshape(-1, 4)
+                texts = new_texts
+
         table_html = compute_table_htmls(lb, labels, cells, boxes, texts)
 
         elements = stitch_page_enhanced(

@@ -595,3 +595,22 @@ def compute_table_htmls(lb, labels, cells, ob, texts):
         idxs = np.flatnonzero(match[:, j]) if match.size else np.zeros(0, np.int64)
         table_html[j] = analyze_table(tcells, ob[idxs], [texts[i] for i in idxs])
     return table_html
+
+
+def fallback_ocr_blocks(
+    layout_boxes: np.ndarray,
+    layout_labels: list[str],
+    ocr_boxes: np.ndarray,
+    min_px: float = 3.0,
+) -> np.ndarray:
+    """Indices of layout blocks needing LAYOUT-BBOX FALLBACK OCR
+    (structure.rs:1337-1395): blocks that are not image/chart and have NO
+    text region overlapping by more than min_px in both axes. The pipeline
+    crops each such block and runs recognition on the whole crop."""
+    lb = np.atleast_2d(np.asarray(layout_boxes, dtype=np.float64)).reshape(-1, 4)
+    if len(lb) == 0:
+        return np.zeros(0, dtype=np.int64)
+    eligible = np.array([l not in ("image", "chart") for l in layout_labels])
+    has_text = overlap_match(ocr_boxes, lb, min_px).any(axis=0) if len(
+        np.atleast_2d(np.asarray(ocr_boxes)).reshape(-1, 4)) else np.zeros(len(lb), bool)
+    return np.flatnonzero(eligible & ~has_text).astype(np.int64)

@@ -272,3 +272,25 @@ def test_page_to_html_list_items():
     elements = [{"label": "list", "text": "a\nb", "order_index": 0}]
     html = page_to_html(elements)
     assert "<ul>\n<li>a</li>\n<li>b</li>\n</ul>" in html
+
+
+def test_fallback_ocr_blocks_selection():
+    from oar_ocr_ray.structure import fallback_ocr_blocks
+
+    lb = np.array([
+        [0, 0, 100, 30],     # text block WITH matched ocr
+        [0, 40, 100, 70],    # text block with NO text -> fallback
+        [0, 80, 100, 110],   # image block with no text -> excluded
+    ], dtype=float)
+    labels = ["text", "text", "image"]
+    ocr = np.array([[10, 5, 90, 25]], dtype=float)
+    out = fallback_ocr_blocks(lb, labels, ocr)
+    assert out.tolist() == [1]
+
+
+def test_fallback_ocr_blocks_no_ocr_at_all():
+    from oar_ocr_ray.structure import fallback_ocr_blocks
+
+    lb = np.array([[0, 0, 100, 30]], dtype=float)
+    out = fallback_ocr_blocks(lb, ["text"], np.zeros((0, 4)))
+    assert out.tolist() == [0]
