@@ -421,7 +421,20 @@ BLOCK_TAG_BASE = 140     # block tag pixel = BLOCK_TAG_BASE + type code
 LAYOUT_CODES = {
     1: "doc_title", 2: "paragraph_title", 3: "text", 4: "table",
     5: "image", 6: "header", 7: "footer", 8: "list", 9: "seal",
+    10: "formula",
 }
+
+# deterministic LaTeX pool for formula blocks (chars all in the line-text
+# contract 32..126, <= 31 bytes); normalize_latex has real work to do on
+# each (spaces between symbols, command braces)
+_LATEX_POOL = [
+    "x ^ { 2 } + y ^ { 2 } = z",
+    "\\mathrm { d } x",
+    "a _ { i } + b _ { j }",
+    "\\sum _ { i } x _ { i }",
+    "( a + b ) ^ { 2 }",
+    "\\operatorname { sin } ( x )",
+]
 LAYOUT_CODE_OF = {v: k for k, v in LAYOUT_CODES.items()}
 
 STRUCT_BLOCK_STRUCT = pa.struct(
@@ -551,6 +564,18 @@ def gen_structure_page(rng: np.random.Generator):
             bh = int(rng.integers(30, 44))
             x0 = int(rng.integers(8, w - bh - 24))
             block_with_lines(x0, y, x0 + bh + 14, y + bh, "seal", 1)
+        elif r < 0.12:  # formula: one latex-encoded line
+            bh = 20
+            tex = str(rng.choice(_LATEX_POOL))
+            _draw_block(img, 8, y, w - 8, y + bh, "formula")
+            blocks.append((8, y, w - 8, y + bh, "formula"))
+            bw = len(tex) + 4
+            fx0 = 12 + int(rng.integers(0, max(w - 24 - bw, 1)))
+            img[y + 4:y + 16, fx0:fx0 + bw] = FILL_VALUE
+            enc = np.frombuffer(tex.encode("ascii"), dtype=np.uint8)
+            img[y + 5, fx0] = len(enc)
+            img[y + 5, fx0 + 1:fx0 + 1 + len(enc)] = enc
+            lines.append((fx0, y + 4, fx0 + bw, y + 16, tex))
         elif r < 0.16:
             bh = 18
             block_with_lines(8, y, w - 8, y + bh, "paragraph_title", 1)

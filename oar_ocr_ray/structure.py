@@ -539,6 +539,12 @@ def stitch_page_enhanced(
                 [ocr_texts[i] for i in idxs], ob[idxs] if len(idxs) else np.zeros((0, 4)),
                 container=tuple(lb[j]),
             ) if len(idxs) else ""
+        if labels[j] in ("formula", "formula_number") and text:
+            # formula recognition output path: decoded latex normalized
+            # (pp_formulanet.rs decode -> normalize_latex)
+            from .formula import normalize_latex
+
+            text = normalize_latex(text)
         e = {"bbox": lb[j].tolist(), "label": labels[j], "score": float(scores[j]), "text": text}
         if html:
             e["html"] = html

@@ -50,7 +50,7 @@ def test_structure_pages_cover_label_variety(corpus):
     all_labels = set(";".join(golden["labels"]).split(";"))
     # fixture must actually exercise the interesting structure paths
     for expected in ("header", "footer", "doc_title", "paragraph_title",
-                     "text", "table", "image", "list", "seal"):
+                     "text", "table", "image", "list", "seal", "formula"):
         assert expected in all_labels, f"no page generated a {expected} block"
 
 
@@ -80,3 +80,13 @@ def test_golden_contains_wired_table_html(corpus):
     # cell content made it into the embedded table structure
     joined = " ".join(wired["html"])
     assert "<td>" in joined and "</td>" in joined
+
+
+def test_golden_contains_normalized_formula(corpus):
+    golden = pq.read_table(corpus["golden_path"]).to_pandas()
+    formulas = golden[golden["labels"].str.contains("formula")]
+    assert len(formulas) > 0, "no formula block generated in fixture corpus"
+    joined = " ".join(formulas["markdown"])
+    # normalize_latex ran: spaces inside braces and between symbols collapsed
+    assert "$$" in joined
+    assert "^{2}" in joined or "_{i}" in joined or "\\mathrm{d}" in joined or "\\operatorname{sin}" in joined
