@@ -417,6 +417,7 @@ def interleave_from_flat(
 
 BLOCK_FILL = 200         # layout block background (>=195, <255: block mask)
 CELL_FILL = 170          # wired-table cell background (>=165, <195: cell mask)
+REGION_FRAME = 152       # region-block 1px frame (>=148, <160: region mask)
 BLOCK_TAG_BASE = 140     # block tag pixel = BLOCK_TAG_BASE + type code
 LAYOUT_CODES = {
     1: "doc_title", 2: "paragraph_title", 3: "text", 4: "table",
@@ -453,7 +454,8 @@ STRUCT_MEDIA_SCHEMA = pa.schema(
         ("png", pa.binary()),
         ("blocks", pa.list_(STRUCT_BLOCK_STRUCT)),
         ("lines", pa.list_(BOX_STRUCT)),
-        ("cells", pa.list_(CELL_STRUCT)),  # wired-table cell ground truth
+        ("cells", pa.list_(CELL_STRUCT)),    # wired-table cell ground truth
+        ("regions", pa.list_(CELL_STRUCT)),  # region-block ground truth
     ]
 )
 STRUCT_GOLDEN_SCHEMA = pa.schema(
@@ -558,7 +560,9 @@ def gen_structure_page(rng: np.random.Generator):
         y += 26
 
     body_end = h - 64
+    body_spans: list[tuple[int, int]] = []  # (y_start, y_end) per body row
     while y < body_end - 72:  # every branch's max block height fits
+        y_row_start = y
         r = rng.random()
         if r < 0.07:  # seal: small square stamp block with one line
             bh = int(rng.integers(30, 44))
@@ -602,7 +606,27 @@ def gen_structure_page(rng: np.random.Generator):
         else:
             bh = int(rng.integers(30, 64))
             block_with_lines(8, y, w - 8, y + bh, "text", int(rng.integers(1, 4)))
+        body_spans.append((y_row_start, y + bh))
         y += bh + 8
+
+    # region blocks (PP-DocBlockLayout stand-in): with p=0.35 wrap the body
+    # rows in two container frames split at a row gap — 1px REGION_FRAME
+    # rectangles on the background, invisible to the text/cell/block masks
+    regions: list[tuple] = []
+    if len(body_spans) >= 2 and rng.random() < 0.35:
+        cut = int(rng.integers(1, len(body_spans)))
+        groups = [body_spans[:cut], body_spans[cut:]]
+        for grp in groups:
+            # 3px offsets leave a >=2-row gap between adjacent frames (4-
+            # connected CC must not merge them) and clear of block edges
+            ry0 = grp[0][0] - 3
+            ry1 = grp[-1][1] + 3
+            rx0, rx1 = 4, w - 4
+            img[ry0, rx0:rx1] = REGION_FRAME
+            img[ry1 - 1, rx0:rx1] = REGION_FRAME
+            img[ry0:ry1, rx0] = REGION_FRAME
+            img[ry0:ry1, rx1 - 1] = REGION_FRAME
+            regions.append((rx0, ry0, rx1, ry1))
 
     if rng.random() < 0.35:  # orphan line on the background (no block)
         ln = _draw_line(img, rng, 12, h - 58, w - 12, h - 44)
@@ -615,7 +639,7 @@ def gen_structure_page(rng: np.random.Generator):
     stored = np.rot90(img, k=-rot) if rot else img
     stored = stored.copy()
     stored[0, 0] = TAG_BASE + rot * TAG_STEP
-    return encode_png(stored), w, h, rot, blocks, lines, cells
+    return encode_png(stored), w, h, rot, blocks, lines, cells, regions
 
 
 def golden_structure(page: dict) -> dict:
@@ -640,12 +664,15 @@ def golden_structure(page: dict) -> dict:
     cells = np.array(
         [[c["x0"], c["y0"], c["x1"], c["y1"]] for c in page.get("cells") or []], dtype=float
     ).reshape(-1, 4)
+    regions = np.array(
+        [[r["x0"], r["y0"], r["x1"], r["y1"]] for r in page.get("regions") or []], dtype=float
+    ).reshape(-1, 4)
 
     table_html = compute_table_htmls(lb, labels, cells, ob, texts)
     elements = stitch_page_enhanced(
         lb, labels, np.full(len(lb), 0.9), ob, texts,
         page_w=float(page["width"]), page_h=float(page["height"]),
-        table_html=table_html,
+        table_html=table_html, region_boxes=regions,
     )
     return {
         "media_ref": page["media_ref"],
@@ -669,7 +696,7 @@ def write_structure_corpus(
     pages = []
     for i in range(n_pages):
         rng = np.random.default_rng([seed, i])
-        png, w, h, rot, blocks, lines, cells = gen_structure_page(rng)
+        png, w, h, rot, blocks, lines, cells, regions = gen_structure_page(rng)
         pages.append(
             {
                 "media_ref": f"page://{i:06d}",
@@ -684,6 +711,9 @@ def write_structure_corpus(
                 ],
                 "cells": [
                     {"x0": c[0], "y0": c[1], "x1": c[2], "y1": c[3]} for c in cells
+                ],
+                "regions": [
+                    {"x0": r[0], "y0": r[1], "x1": r[2], "y1": r[3]} for r in regions
                 ],
             }
         )

@@ -36,6 +36,7 @@ from ..structure import (
 from ..stubs import (
     classify_orientation,
     classify_table,
+    detect_region_blocks,
     correct_orientation,
     detect_boxes,
     detect_layout_blocks,
@@ -68,14 +69,19 @@ class StructureExtract:
         h, w = img.shape
 
         lb, labels, scores = detect_layout_blocks(img)
+        regions = detect_region_blocks(img)
         line_boxes = detect_boxes(img, min_area=self.min_line_area).astype(np.float64)
 
         # cross-layout re-recognition split (structure.rs:2017-2108):
-        # containers = layout blocks with container labels
-        containers = (
-            lb[[i for i, l in enumerate(labels) if l in CONTAINER_LABELS]]
-            if len(lb) else np.zeros((0, 4))
-        )
+        # containers = region blocks when detected, else layout blocks with
+        # container labels (structure.rs:2022-2052)
+        if len(regions):
+            containers = regions
+        else:
+            containers = (
+                lb[[i for i, l in enumerate(labels) if l in CONTAINER_LABELS]]
+                if len(lb) else np.zeros((0, 4))
+            )
         if len(containers) and len(line_boxes):
             line_boxes = split_boxes_by_containers(line_boxes, containers)
 
@@ -135,7 +141,7 @@ class StructureExtract:
 
         elements = stitch_page_enhanced(
             lb, labels, scores, boxes, texts, page_w=float(w), page_h=float(h),
-            table_html=table_html,
+            table_html=table_html, region_boxes=regions,
         )
         return {
             "media_ref": ref,

@@ -507,6 +507,7 @@ def stitch_page_enhanced(
     overlap_threshold: float = 0.5,
     orphan_table_ioa: float = 0.3,
     table_html: list | None = None,
+    region_boxes: np.ndarray | None = None,
 ) -> list[dict]:
     """Per-page stitch with the ENHANCED reading order (the PP-StructureV3
     flow, structure.rs:2271-2468 + layout_sorting.rs): same dedup / match /
@@ -516,8 +517,14 @@ def stitch_page_enhanced(
 
     table_html (aligned with layout_boxes, None per non-wired entry): a
     wired table's analyzed HTML structure replaces the smart-joined text
-    (the markdown/html exporters embed it, stitching.rs table path)."""
-    from .sorting import sort_layout_enhanced
+    (the markdown/html exporters embed it, stitching.rs table path).
+
+    region_boxes: detected region blocks (PP-DocBlockLayout). When present,
+    ordering switches to the HIERARCHICAL order — regions XY-cut, elements
+    XY-cut within their assigned region, unassigned appended last
+    (structure.rs:2304-2307 assign_region_block_membership + 'stitching
+    preserves the hierarchical order', sorting.rs:612-739)."""
+    from .sorting import sort_layout_enhanced, sort_with_region_hierarchy
 
     lb = np.atleast_2d(np.asarray(layout_boxes, dtype=np.float64)).reshape(-1, 4)
     ob = np.atleast_2d(np.asarray(ocr_boxes, dtype=np.float64)).reshape(-1, 4)
@@ -565,7 +572,12 @@ def stitch_page_enhanced(
         return []
     all_boxes = np.array([e["bbox"] for e in elements])
     all_labels = [e["label"] for e in elements]
-    order = sort_layout_enhanced(all_boxes, all_labels, page_w, page_h)
+    rb = (np.atleast_2d(np.asarray(region_boxes, dtype=np.float64)).reshape(-1, 4)
+          if region_boxes is not None else np.zeros((0, 4)))
+    if len(rb):
+        order = sort_with_region_hierarchy(all_boxes, rb, 0.1)
+    else:
+        order = sort_layout_enhanced(all_boxes, all_labels, page_w, page_h)
     ordered = []
     for rank, idx in enumerate(order):
         e = elements[int(idx)]

@@ -144,3 +144,13 @@ def detect_table_cells(img: np.ndarray, box, min_area: int = 32) -> np.ndarray:
         cells[:, [0, 2]] += x0
         cells[:, [1, 3]] += y0
     return cells
+
+
+def detect_region_blocks(img: np.ndarray, min_area: int = 50) -> np.ndarray:
+    """'Region block detection' stand-in (reference PP-DocBlockLayout,
+    detect_layout_and_regions in structure.rs): connected components of the
+    REGION_FRAME band — 1px container frames drawn on the page background.
+    Returns (N,4) float AABBs."""
+    gray = img if img.ndim == 2 else img[:, :, 0]
+    mask = (gray >= 148) & (gray < 160)
+    return connected_component_boxes(mask, min_area=min_area).astype(np.float64)

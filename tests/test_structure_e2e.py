@@ -90,3 +90,15 @@ def test_golden_contains_normalized_formula(corpus):
     # normalize_latex ran: spaces inside braces and between symbols collapsed
     assert "$$" in joined
     assert "^{2}" in joined or "_{i}" in joined or "\\mathrm{d}" in joined or "\\operatorname{sin}" in joined
+
+
+def test_fixture_generates_region_pages(corpus):
+    import os
+
+    import pyarrow.parquet as pq2
+
+    n_region_pages = 0
+    for f in sorted(os.listdir(corpus["media_dir"])):
+        t = pq2.read_table(os.path.join(corpus["media_dir"], f), columns=["regions"])
+        n_region_pages += sum(1 for r in t["regions"].to_pylist() if r)
+    assert n_region_pages > 0, "no page generated region blocks — hierarchy path untested"
