@@ -195,7 +195,10 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    lo = run(8)
+    time.sleep(30)  # let residual load from the previous Ray session decay
+    # (measured: back-to-back legs inflate the second leg's wall time ~30%)
+    hi = run(32)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8)
     hw = cpu_capacity_scale(8, 32)
