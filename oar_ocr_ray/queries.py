@@ -268,6 +268,128 @@ def q5_nation_revenue_broadcast(sf_dir: str):
     return df
 
 
+def q14_promo_revenue(sf_dir: str):
+    """Promo revenue share: part's p_type broadcast as a partkey->is_promo
+    set (dimension table, broadcast-sized at any scale), lineitem streams
+    one month; conditional + total revenue partials, tiny driver reduce."""
+    import ray
+
+    part = pd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    promo_ref = ray.put(set(part.loc[part["p_type"].str.startswith("PROMO"), "p_partkey"]))
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-02-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        promo = ray.get(promo_ref)
+        m = (df["l_shipdate"].to_numpy() >= lo) & (df["l_shipdate"].to_numpy() < hi)
+        d = df[m]
+        rev = d["l_extendedprice"] * (1 - d["l_discount"])
+        is_promo = d["l_partkey"].isin(promo).to_numpy()
+        return pd.DataFrame({"promo": [rev[is_promo].sum()], "total": [rev.sum()]})
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    promo, total = df["promo"].sum(), df["total"].sum()
+    return pd.DataFrame({"promo_revenue": [round_half_away(100.0 * promo / total, 4)]})
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+def q10_returned_revenue(sf_dir: str, k: int = 20):
+    """Top-k customers by revenue on returned items (l_returnflag = 'R'):
+    orders' orderkey->custkey map broadcast once, per-batch partials keyed
+    on custkey, distributed groupby(custkey), driver-side top-k + name
+    attach (customer is a broadcast-sized dimension)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = pd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    ok_to_ck = ray.put(dict(zip(orders["o_orderkey"], orders["o_custkey"])))
+    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    names = dict(zip(cust["c_custkey"], cust["c_name"]))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ok_to_ck)
+        d = df[df["l_returnflag"] == "R"]
+        ck = d["l_orderkey"].map(lookup)
+        rev = d["l_extendedprice"] * (1 - d["l_discount"])
+        return pd.DataFrame({"c_custkey": ck, "rev": rev}).groupby(
+            "c_custkey", as_index=False, sort=False)["rev"].sum()
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("c_custkey").aggregate(
+        Sum("rev", alias_name="revenue"))
+    top = agg.to_pandas()
+    top["revenue"] = round_half_away(top["revenue"], 2)
+    top = top.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(k)
+    top["c_name"] = top["c_custkey"].map(names)
+    top["c_custkey"] = top["c_custkey"].astype("int64")
+    return top.reset_index(drop=True)
+
+
+Q10_SQL = """
+SELECT o.o_custkey AS c_custkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       any_value(c.c_name) AS c_name
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY o.o_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q18_large_orders(sf_dir: str, min_qty: float = 200.0):
+    """Large-quantity orders: per-orderkey quantity sums via the COARSE-
+    PARTITION pattern (orderkey % 256 shuffle key, vectorized in-partition
+    groupby — a distributed groupby on the raw 150k-key orderkey column
+    measured 113 s at sf0.1; this is the scale-safe shape), HAVING filter
+    in-partition, then broadcast orders for custkey/date attach."""
+    import ray
+
+    orders = pd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    ord_ref = ray.put(orders.set_index("o_orderkey")[["o_custkey", "o_orderdate"]])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False, sort=False)["l_quantity"].sum()
+        g["part"] = (g["l_orderkey"] % 256).astype(np.int32)
+        return g
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_orderkey", as_index=False, sort=False)["l_quantity"].sum()
+        s = s[s["l_quantity"] > min_qty]
+        om = ray.get(ord_ref)
+        joined = s.join(om, on="l_orderkey")
+        return pd.DataFrame({
+            "o_orderkey": s["l_orderkey"].astype("int64"),
+            "sum_qty": s["l_quantity"],
+            "o_custkey": joined["o_custkey"].astype("int64"),
+            "o_orderdate": joined["o_orderdate"],
+        })
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    out = ds.map_batches(partial, batch_format="pandas").groupby("part").map_groups(
+        per_part, batch_format="pandas")
+    return out
+
+
+Q18_SQL = """
+SELECT l.l_orderkey AS o_orderkey, sum(l.l_quantity) AS sum_qty,
+       any_value(o.o_custkey) AS o_custkey, any_value(o.o_orderdate) AS o_orderdate
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_orderkey
+HAVING sum(l.l_quantity) > 200.0
+"""
+
+
 def orders_per_customer_topk(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -1381,6 +1503,9 @@ QUERIES = {
     "q5_nation_revenue": q5_nation_revenue,
     "q5_nation_revenue_broadcast": q5_nation_revenue_broadcast,
     "q6_revenue": q6_revenue,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
     "orders_per_customer_topk": orders_per_customer_topk,
     "filter_highvalue_orders": filter_highvalue_orders,
     "events_tumbling": events_tumbling,
@@ -1421,6 +1546,9 @@ ORACLE_SQL = {
     "q5_nation_revenue": Q5_SQL,
     "q5_nation_revenue_broadcast": Q5_SQL,
     "q6_revenue": Q6_SQL,
+    "q10_returned_revenue": Q10_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
     "orders_per_customer_topk": ORDERS_TOPK_SQL,
     "filter_highvalue_orders": FILTER_SQL,
     "events_tumbling": EVENTS_TUMBLING_SQL,

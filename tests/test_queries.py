@@ -73,6 +73,7 @@ def oracle_pairs():
 @pytest.mark.parametrize("name", [
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q5_nation_revenue_broadcast", "q6_revenue",
+    "q10_returned_revenue", "q14_promo_revenue", "q18_large_orders",
     "orders_per_customer_topk", "filter_highvalue_orders", "events_tumbling",
     "events_sessionize", "events_sliding", "token_counts", "quality_scores", "word_topk",
     "dedup_exact", "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
