@@ -111,3 +111,111 @@ def test_pack_merge_equals_direct_rebuild(docs, rnd):
 
     key = lambda out: {r["doc_id"]: r["spans"] for r in out}
     assert key(direct) == key(merged)
+
+
+# --- round-2 operator properties ---
+
+boxes_strategy = st.lists(box_strategy, min_size=1, max_size=12).map(
+    lambda bs: np.array(bs, dtype=float)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes_strategy, st.data())
+def test_sort_layout_enhanced_is_permutation(boxes, data):
+    from oar_ocr_ray.sorting import sort_layout_enhanced
+
+    labels = data.draw(st.lists(
+        st.sampled_from(["text", "table", "image", "header", "footer",
+                         "doc_title", "paragraph_title", "list", "seal"]),
+        min_size=len(boxes), max_size=len(boxes)))
+    order = sort_layout_enhanced(boxes, labels, 400.0, 400.0)
+    assert sorted(order.tolist()) == list(range(len(boxes)))
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes_strategy, boxes_strategy)
+def test_region_hierarchy_is_permutation(elems, regions):
+    from oar_ocr_ray.sorting import sort_with_region_hierarchy
+
+    order = sort_with_region_hierarchy(elems, regions, 0.1)
+    assert sorted(order.tolist()) == list(range(len(elems)))
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes_strategy, st.data())
+def test_nms_with_merge_bounds(boxes, data):
+    from oar_ocr_ray.structure import nms_with_merge
+
+    n = len(boxes)
+    classes = np.array(data.draw(st.lists(st.integers(0, 2), min_size=n, max_size=n)))
+    scores = np.array(data.draw(st.lists(
+        st.floats(0.01, 1.0, allow_nan=False), min_size=n, max_size=n)))
+    out_b, out_c, out_s = nms_with_merge(boxes, classes, scores, iou_threshold=0.3)
+    assert 1 <= len(out_b) <= n
+    # every output box lies within the union extent of its class's inputs
+    for b, c in zip(out_b, out_c):
+        src = boxes[classes == c]
+        assert b[0] >= src[:, 0].min() - 1e-9 and b[1] >= src[:, 1].min() - 1e-9
+        assert b[2] <= src[:, 2].max() + 1e-9 and b[3] <= src[:, 3].max() + 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(box_strategy.map(lambda b: np.array(b, dtype=float)), boxes_strategy)
+def test_split_by_containers_segments_within_original(det, containers):
+    from oar_ocr_ray.structure import split_boxes_by_containers
+
+    out = split_boxes_by_containers(det.reshape(1, 4), containers)
+    assert len(out) >= 1
+    for seg in out:
+        if len(out) == 1:
+            break  # kept whole
+        assert seg[0] >= det[0] and seg[1] >= det[1]
+        assert seg[2] <= det[2] and seg[3] <= det[3]
+
+
+@settings(max_examples=60, deadline=None)
+@given(box_strategy.map(lambda b: np.array(b, dtype=float)), boxes_strategy)
+def test_split_by_cells_segments_cover_within_box(ocr, cells):
+    from oar_ocr_ray.structure import split_ocr_by_table_cells
+
+    out, src, was_split = split_ocr_by_table_cells(ocr.reshape(1, 4), cells)
+    assert (src == 0).all()
+    for seg, ws in zip(out, was_split):
+        if ws:
+            assert seg[1] == ocr[1] and seg[3] == ocr[3]  # vertical extent kept
+            assert seg[0] >= ocr[0] - 1e-9 and seg[2] <= ocr[2] + 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(2, 30), st.integers(1, 10))
+def test_combine_rectangles_kmeans_count_bound(n, k):
+    from oar_ocr_ray.table import combine_rectangles_kmeans
+
+    rng = np.random.default_rng(n * 31 + k)
+    x0 = rng.uniform(0, 100, n); y0 = rng.uniform(0, 100, n)
+    rects = np.stack([x0, y0, x0 + rng.uniform(1, 20, n), y0 + rng.uniform(1, 20, n)], axis=1)
+    out = combine_rectangles_kmeans(rects, k)
+    assert 1 <= len(out) <= max(k, n if k >= n else k)
+    # every output is a union of inputs: within global extent
+    assert out[:, 0].min() >= rects[:, 0].min() - 1e-9
+    assert out[:, 2].max() <= rects[:, 2].max() + 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=50))
+def test_normalize_latex_idempotent(s):
+    from oar_ocr_ray.formula import normalize_latex
+
+    once = normalize_latex(s)
+    assert normalize_latex(once) == once
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(2, 40), st.integers(2, 40))
+def test_grid_sample_identity_property(h, w):
+    from oar_ocr_ray.rectify import grid_sample_bilinear, identity_grid
+
+    rng = np.random.default_rng(h * 97 + w)
+    img = rng.integers(0, 255, size=(h, w), dtype=np.uint8)
+    assert (grid_sample_bilinear(img, identity_grid(h, w)) == img).all()
