@@ -176,10 +176,13 @@ def _gen_image(rng: np.random.Generator):
             y0 = row_y + int(rng.integers(-3, 4))
             if y0 + bh >= h - 4:
                 continue
-            img[y0:y0 + bh, x0:x0 + bw] = FILL_VALUE
             enc = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
-            img[y0 + 1, x0] = len(enc)
-            img[y0 + 1, x0 + 1:x0 + 1 + len(enc)] = enc
+            patch = np.full((bh, bw), FILL_VALUE, dtype=np.uint8)
+            patch[1, 0] = len(enc)
+            patch[1, 1:1 + len(enc)] = enc
+            if rng.random() < 0.1:  # upside-down line: text-line orientation
+                patch = np.rot90(patch, 2)  # classifier must correct it
+            img[y0:y0 + bh, x0:x0 + bw] = patch
             boxes.append((x0, y0, x0 + bw, y0 + bh, text))
         row_y += 26
     rot = int(rng.choice([0, 1, 2, 3], p=[0.9, 0.04, 0.03, 0.03]))
@@ -476,9 +479,13 @@ def _draw_block(img, x0, y0, x1, y1, label):
     img[y0 + 1, x0] = BLOCK_TAG_BASE + LAYOUT_CODE_OF[label]
 
 
-def _draw_line(img, rng, x_lo, y_lo, x_hi, y_hi):
+def _draw_line(img, rng, x_lo, y_lo, x_hi, y_hi, flip_p: float = 0.1):
     """Draw one encoded text line INSIDE the given region; returns
-    (x0, y0, x1, y1, text) or None if it doesn't fit."""
+    (x0, y0, x1, y1, text) or None if it doesn't fit.
+
+    With probability flip_p the line is rendered 180°-ROTATED (the
+    upside-down-line case the reference's text-line orientation classifier
+    exists for) — the pipeline must classify + correct before decoding."""
     avail_w = x_hi - x_lo
     avail_h = y_hi - y_lo
     if avail_w < 14 or avail_h < 9:
@@ -493,10 +500,13 @@ def _draw_line(img, rng, x_lo, y_lo, x_hi, y_hi):
     bh = int(rng.integers(8, min(13, avail_h + 1)))
     x0 = x_lo + int(rng.integers(0, avail_w - bw))
     y0 = y_lo + int(rng.integers(0, max(avail_h - bh, 0) + 1))
-    img[y0:y0 + bh, x0:x0 + bw] = FILL_VALUE
     enc = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
-    img[y0 + 1, x0] = len(enc)
-    img[y0 + 1, x0 + 1:x0 + 1 + len(enc)] = enc
+    patch = np.full((bh, bw), FILL_VALUE, dtype=np.uint8)
+    patch[1, 0] = len(enc)
+    patch[1, 1:1 + len(enc)] = enc
+    if rng.random() < flip_p:
+        patch = np.rot90(patch, 2)
+    img[y0:y0 + bh, x0:x0 + bw] = patch
     return (x0, y0, x0 + bw, y0 + bh, text)
 
 

@@ -341,8 +341,14 @@ class Recognize:
             by0 = crops["by0"].to_numpy(zero_copy_only=False)
             bx1 = crops["bx1"].to_numpy(zero_copy_only=False)
             by1 = crops["by1"].to_numpy(zero_copy_only=False)
+        from ..stubs import classify_line_orientation, correct_line_orientation
+
         for j in order:  # batch processed in wh-ratio order
             arr = np.frombuffer(blobs[j], dtype=np.uint8).reshape(hs[j], ws[j])
+            # text-line orientation stage (PP-LCNet 0/180 classes,
+            # text_line_orientation_adapter.rs): classify + correct the
+            # crop before recognition
+            arr = correct_line_orientation(arr, classify_line_orientation(arr))
             raw = read_crop_text(arr)
             logits = encode_ctc_logits(raw)
             text, conf, cols = ctc_greedy_decode(logits)

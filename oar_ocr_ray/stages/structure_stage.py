@@ -85,11 +85,15 @@ class StructureExtract:
         if len(containers) and len(line_boxes):
             line_boxes = split_boxes_by_containers(line_boxes, containers)
 
+        from ..stubs import classify_line_orientation, correct_line_orientation
+
         texts, boxes = [], []
         for b in line_boxes:
             x0, y0, x1, y1 = (int(np.floor(b[0])), int(np.floor(b[1])),
                               int(np.ceil(b[2])), int(np.ceil(b[3])))
             crop = img[max(y0, 0):min(y1, h), max(x0, 0):min(x1, w)]
+            # text-line orientation classify + correct before recognition
+            crop = correct_line_orientation(crop, classify_line_orientation(crop))
             t = read_crop_text(crop)
             if t:  # empty recognition dropped (structure.rs:2200 precedent)
                 texts.append(t)

@@ -154,3 +154,23 @@ def detect_region_blocks(img: np.ndarray, min_area: int = 50) -> np.ndarray:
     gray = img if img.ndim == 2 else img[:, :, 0]
     mask = (gray >= 148) & (gray < 160)
     return connected_component_boxes(mask, min_area=min_area).astype(np.float64)
+
+
+def classify_line_orientation(crop: np.ndarray) -> int:
+    """'Text-line orientation' stand-in (reference PP-LCNet 2-class 0/180,
+    src/domain/adapters/text_line_orientation_adapter.rs): decides whether
+    a recognition crop is upside down. Deterministic rule: the encoding
+    contract validates only in the upright frame, so 180 is returned iff
+    the crop decodes after a half-turn but not as-is."""
+    if read_crop_text(crop):
+        return 0
+    if read_crop_text(np.ascontiguousarray(np.rot90(crop, 2))):
+        return 180
+    return 0
+
+
+def correct_line_orientation(crop: np.ndarray, angle: int) -> np.ndarray:
+    """Apply the classifier's correction (180° half-turn)."""
+    if angle == 180:
+        return np.ascontiguousarray(np.rot90(crop, 2))
+    return crop

@@ -52,6 +52,10 @@ def test_stub_pipeline_recovers_truth():
                 key = tuple(int(v) for v in boxes[j])
                 assert key in want, f"box {key} not in truth"
                 crop = get_rotate_crop_image(upright, aabb_to_quad(boxes[j].astype(float))[0])
+                # some lines render upside down: classify + correct first
+                from oar_ocr_ray.stubs import classify_line_orientation, correct_line_orientation
+
+                crop = correct_line_orientation(crop, classify_line_orientation(crop))
                 assert read_crop_text(crop) == want[key]
                 got_texts.append(want[key])
             # golden ordering uses the same sort on truth boxes
@@ -98,3 +102,31 @@ def test_rotate_boxes_back_matches_numpy_rotation():
         region = stored[int(by0):int(by1), int(bx0):int(bx1)]
         assert region.size > 0 and (region == 200).all(), cls
         assert (stored == 200).sum() == region.size, cls
+
+
+def test_flipped_lines_generated_and_corrected():
+    """The fixture renders some upside-down lines; the orientation
+    classifier + correction must recover the exact text."""
+    import numpy as np
+
+    from oar_ocr_ray.fixtures import _draw_line
+    from oar_ocr_ray.stubs import (
+        classify_line_orientation,
+        correct_line_orientation,
+        read_crop_text,
+    )
+
+    rng = np.random.default_rng(0)
+    n_flipped = 0
+    for _ in range(200):
+        img = np.full((40, 80), 255, dtype=np.uint8)
+        ln = _draw_line(img, rng, 2, 2, 78, 38)
+        if ln is None:
+            continue
+        x0, y0, x1, y1, text = ln
+        crop = img[y0:y1, x0:x1]
+        ang = classify_line_orientation(crop)
+        if ang == 180:
+            n_flipped += 1
+        assert read_crop_text(correct_line_orientation(crop, ang)) == text
+    assert n_flipped > 5, "flip path never exercised"
