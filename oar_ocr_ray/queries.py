@@ -1008,7 +1008,7 @@ def _structure_corpus(sf_dir: str) -> dict:
 
     from .fixtures import write_structure_corpus
 
-    key = hashlib.sha1(f"v6:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    key = hashlib.sha1(f"v7:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     out_dir = os.path.join("/tmp", f"oar_structure_{key}")
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):

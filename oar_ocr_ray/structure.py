@@ -587,30 +587,41 @@ def stitch_page_enhanced(
 
 
 def compute_table_htmls(lb, labels, cells, ob, texts):
-    """Per-layout-block wired-table HTML (None for non-tables / wireless
-    tables): the cells inside each table block plus the block's matched OCR
-    lines run through table.analyze_table. Shared by the golden oracle
-    (ground-truth inputs) and the pipeline stage (detected inputs)."""
+    """Per-layout-block table HTML (None for non-tables): the cells inside
+    each table block plus the block's matched OCR lines run through
+    table.analyze_table. Shared by the golden oracle (ground-truth inputs)
+    and the pipeline stage (detected inputs).
+
+    Wired tables (ruled cells detected) use the cell grid. WIRELESS tables
+    (no ruled cells, >= 2 matched lines) use the stand-in for the wireless
+    SLANet path: the matched LINE boxes themselves act as pseudo-cells —
+    the grid structure is inferred from content layout, exactly the
+    wireless model's job (table_analyzer.rs wireless branch)."""
     from .table import analyze_table
 
     lb = np.atleast_2d(np.asarray(lb, dtype=np.float64)).reshape(-1, 4)
     cells = np.atleast_2d(np.asarray(cells, dtype=np.float64)).reshape(-1, 4)
     ob = np.atleast_2d(np.asarray(ob, dtype=np.float64)).reshape(-1, 4)
     table_html: list = [None] * len(lb)
-    if len(cells) == 0 or len(lb) == 0:
+    if len(lb) == 0:
         return table_html
     match = overlap_match(ob, lb)
     for j, label in enumerate(labels):
         if label != "table":
             continue
-        inside = (
-            (cells[:, 0] >= lb[j, 0]) & (cells[:, 1] >= lb[j, 1])
-            & (cells[:, 2] <= lb[j, 2]) & (cells[:, 3] <= lb[j, 3])
-        )
-        tcells = cells[inside]
-        if len(tcells) == 0:
-            continue  # wireless table: smart-join text path
         idxs = np.flatnonzero(match[:, j]) if match.size else np.zeros(0, np.int64)
+        if len(cells):
+            inside = (
+                (cells[:, 0] >= lb[j, 0]) & (cells[:, 1] >= lb[j, 1])
+                & (cells[:, 2] <= lb[j, 2]) & (cells[:, 3] <= lb[j, 3])
+            )
+            tcells = cells[inside]
+        else:
+            tcells = np.zeros((0, 4))
+        if len(tcells) == 0:
+            if len(idxs) < 2:
+                continue  # too little content to infer structure: text path
+            tcells = ob[idxs]  # wireless: lines are the pseudo-cells
         table_html[j] = analyze_table(tcells, ob[idxs], [texts[i] for i in idxs])
     return table_html
 

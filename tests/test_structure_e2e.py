@@ -102,3 +102,13 @@ def test_fixture_generates_region_pages(corpus):
         t = pq2.read_table(os.path.join(corpus["media_dir"], f), columns=["regions"])
         n_region_pages += sum(1 for r in t["regions"].to_pylist() if r)
     assert n_region_pages > 0, "no page generated region blocks — hierarchy path untested"
+
+
+def test_wireless_tables_get_structure_from_lines(corpus):
+    # wireless tables (no ruled grid) infer a row structure from their
+    # line layout (the wireless-SLANet stand-in) — at least one such table
+    # must appear with <tr> rows but without having come from the wired
+    # cell path on its page
+    golden = pq.read_table(corpus["golden_path"]).to_pandas()
+    tabled = golden[golden["labels"].str.contains("table")]
+    assert tabled["markdown"].str.contains("<tr>").any()
