@@ -965,6 +965,56 @@ def simhash_buckets(sf_dir: str):
     return ds.map_batches(simhash_batch, batch_format="pandas", concurrency=2)
 
 
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
+    """Rows-only: SimHash near-dup pairs end-to-end — signatures + quadrant
+    keys in map_batches, candidate pairs from each quadrant bucket (the
+    pigeonhole guarantee: Hamming <= 3 pairs share >= 1 of 4 quadrants),
+    exact Hamming verify inside the bucket group. The shuffle key is the
+    narrow (quad, value) column; signatures ride along as int64."""
+    from .functions.dedup import simhash_batch
+
+    def explode_quads(df: pd.DataFrame) -> pd.DataFrame:
+        sh = simhash_batch(df)
+        frames = []
+        for q in range(4):
+            frames.append(pd.DataFrame({
+                "doc_id": sh["doc_id"], "simhash": sh["simhash"],
+                "quad": np.int32(q), "qval": sh[f"quad{q}"],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sig = g["simhash"].to_numpy().astype(np.uint64)
+        iu, ju = np.triu_indices(len(g), k=1)
+        x = sig[iu] ^ sig[ju]
+        # vectorized popcount via byte-view + unpackbits
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[iu[keep]], "doc_b": ids[ju[keep]],
+                             "hamming": ham[keep].astype(np.int64)})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.map_batches(explode_quads, batch_format="pandas")
+        .groupby(["quad", "qval"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    return out.drop_duplicates(["doc_a", "doc_b"]).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nbits: int = 8):
     """LSH-bucketed ANN: vectors bucketed by random hyperplanes; queries
     scored only against their own bucket (approximate, shuffle-free)."""
@@ -1527,6 +1577,7 @@ QUERIES = {
     "fingerprints": fingerprints,
     "minhash_bands": minhash_bands,
     "simhash_buckets": simhash_buckets,
+    "simhash_dup_pairs": simhash_dup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "structure_extract": structure_extract,

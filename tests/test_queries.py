@@ -91,7 +91,7 @@ def test_query_matches_oracle(ray_session, duck, name):
 
 
 @pytest.mark.parametrize("name", [
-    "fingerprints", "minhash_bands", "simhash_buckets",
+    "fingerprints", "minhash_bands", "simhash_buckets", "simhash_dup_pairs",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup_lsh", "structure_extract",
     "ocr_word_boxes", "crop_aspect_buckets",
 ])
