@@ -1084,8 +1084,14 @@ def structure_extract(sf_dir: str):
     from .stages.media import cached_stage
     from .stages.structure_stage import StructureExtract
 
+    import ray
+
     meta = _structure_corpus(sf_dir)
-    ds = ray.data.read_parquet(meta["refs_path"])
+    # the refs manifest is one tiny file -> one block -> SERIAL execution
+    # unless split; ~cpus/2 blocks measured best (16 blocks: 1.2 s vs 5.2 s
+    # serial vs 3.6 s at 64 — per-task store-open overhead past the knee)
+    n_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    ds = ray.data.read_parquet(meta["refs_path"], override_num_blocks=n_blocks)
     return ds.map_batches(
         cached_stage(StructureExtract, media_dir=meta["media_dir"]),
         batch_format="pyarrow", batch_size=32,
