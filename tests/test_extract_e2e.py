@@ -78,6 +78,23 @@ def test_run_extract_resumable(ray_session, corpus, tmp_path):
     assert r3["shards_processed_now"] == 0
 
 
+def test_run_extract_resume_rejects_shard_drift(ray_session, corpus, tmp_path):
+    """A resumed run whose --shards (or file list) differs from what the
+    manifest committed must fail loudly, not silently skip/reprocess."""
+    import pytest
+
+    out = str(tmp_path / "out_drift")
+    run_extract(
+        corpus["doc_files"], corpus["media_dir"], out,
+        n_shards=3, max_shards=1, n_parts=8, det_concurrency=1, rec_concurrency=1,
+    )
+    with pytest.raises(RuntimeError, match="resume mismatch"):
+        run_extract(
+            corpus["doc_files"], corpus["media_dir"], out,
+            n_shards=2, n_parts=8, det_concurrency=1, rec_concurrency=1,
+        )
+
+
 def test_output_schema(ray_session, corpus, tmp_path):
     ds = build_extract_pipeline(
         corpus["doc_files"][:1], corpus["media_dir"], n_parts=4,
