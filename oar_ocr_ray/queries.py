@@ -42,6 +42,24 @@ def _read(sf_dir: str, table: str, columns=None):
 # TPC-H-style relational queries
 # ---------------------------------------------------------------------------
 
+def _topk_blocks(ds, k: int, by: list[str], ascending: list[bool],
+                 round_cols: dict[str, int] | None = None) -> pd.DataFrame:
+    """Distributed top-k over an aggregated Dataset: per-block partial
+    top-k inside map_batches (safe — every global top-k row is in its own
+    block's top-k), then a tiny driver merge of k x n_blocks rows. Replaces
+    pulling the full aggregate (vocabulary / customer / order cardinality)
+    to the driver. Rounding is applied BEFORE ranking so block cuts use the
+    same tie order as the final sort and the SQL oracle."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if round_cols:
+            for c, nd in round_cols.items():
+                df[c] = round_half_away(df[c], nd)
+        return df.sort_values(by, ascending=ascending).head(k)
+
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return out.sort_values(by, ascending=ascending).head(k).reset_index(drop=True)
+
+
 def _reduce_small(partials, keys: list[str], sums: list[str]) -> pd.DataFrame:
     """Driver-side final reduce for LOW-CARDINALITY group keys: the partials
     (one row per key per batch) are tiny, so shipping them to the driver and
@@ -161,11 +179,9 @@ def q3_top_orders(sf_dir: str):
     agg = ds.map_batches(partial, batch_format="pandas").groupby("l_orderkey").aggregate(
         Sum("revenue", alias_name="revenue")
     )
-    top = agg.to_pandas()
-    top["revenue"] = round_half_away(top["revenue"], 2)
-    top = top.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
-    top = top.rename(columns={"l_orderkey": "o_orderkey"})
-    return top.reset_index(drop=True)
+    top = _topk_blocks(agg, 10, ["revenue", "l_orderkey"], [False, True],
+                       round_cols={"revenue": 2})
+    return top.rename(columns={"l_orderkey": "o_orderkey"})
 
 
 Q3_SQL = """
@@ -325,12 +341,11 @@ def q10_returned_revenue(sf_dir: str, k: int = 20):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
     agg = ds.map_batches(partial, batch_format="pandas").groupby("c_custkey").aggregate(
         Sum("rev", alias_name="revenue"))
-    top = agg.to_pandas()
-    top["revenue"] = round_half_away(top["revenue"], 2)
-    top = top.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(k)
+    top = _topk_blocks(agg, k, ["revenue", "c_custkey"], [False, True],
+                       round_cols={"revenue": 2})
     top["c_name"] = top["c_custkey"].map(names)
     top["c_custkey"] = top["c_custkey"].astype("int64")
-    return top.reset_index(drop=True)
+    return top
 
 
 Q10_SQL = """
@@ -400,10 +415,9 @@ def orders_per_customer_topk(sf_dir: str):
     agg = ds.map_batches(partial, batch_format="pandas").groupby("o_custkey").aggregate(
         Sum("n_orders", alias_name="n_orders")
     )
-    top = agg.to_pandas()
+    top = _topk_blocks(agg, 20, ["n_orders", "o_custkey"], [False, True])
     top["n_orders"] = top["n_orders"].astype("int64")
-    top = top.sort_values(["n_orders", "o_custkey"], ascending=[False, True]).head(20)
-    return top.reset_index(drop=True)
+    return top
 
 
 ORDERS_TOPK_SQL = """
@@ -559,11 +573,10 @@ def word_topk(sf_dir: str):
     agg = ds.map_batches(partial, batch_format="pandas").groupby("word").aggregate(
         Sum("n", alias_name="n")
     )
-    top = agg.to_pandas()
-    top = top[top["word"] != ""]
+    nonempty = agg.map_batches(lambda df: df[df["word"] != ""], batch_format="pandas")
+    top = _topk_blocks(nonempty, 20, ["n", "word"], [False, True])
     top["n"] = top["n"].astype("int64")
-    top = top.sort_values(["n", "word"], ascending=[False, True]).head(20)
-    return top.reset_index(drop=True)
+    return top
 
 
 WORD_TOPK_SQL = r"""
@@ -794,10 +807,13 @@ FROM embeddings GROUP BY label
 
 def lang_id(sf_dir: str):
     from .functions.text_analysis import LangId
+    from .stages.media import cached_stage
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # cheap stateful stage -> tasks with a per-worker cached instance
+    # (elastic parallelism, no actor-pool spawn cost; see cached_stage)
     return ds.map_batches(
-        LangId, batch_format="pandas", concurrency=2
+        cached_stage(LangId), batch_format="pandas"
     ).select_columns(["doc_id", "pred_lang", "lang_score"])
 
 
@@ -855,9 +871,10 @@ def minhash_bands(sf_dir: str):
     (doc_id, band, band_hash) rows — the groupby on (band, band_hash) then
     yields candidate duplicate pairs."""
     from .functions.dedup import MinHasher
+    from .stages.media import cached_stage
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(MinHasher, batch_format="pandas", concurrency=2)
+    return ds.map_batches(cached_stage(MinHasher), batch_format="pandas")
 
 
 def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8):
