@@ -22,6 +22,7 @@ import numpy as np
 
 # Default charset: printable ASCII 32..126 at indices 1..95; blank = 0.
 DEFAULT_CHARSET = "".join(chr(c) for c in range(32, 127))
+_DEFAULT_CHAR_TO_IDX = {ch: i + 1 for i, ch in enumerate(DEFAULT_CHARSET)}
 
 
 def ctc_greedy_decode(logits: np.ndarray, charset: str = DEFAULT_CHARSET):
@@ -70,10 +71,14 @@ def encode_ctc_logits(text: str, charset: str = DEFAULT_CHARSET, conf: float = 0
     blank separator inserted between repeated characters.
     """
     c_dim = len(charset) + 1
+    if charset is DEFAULT_CHARSET:
+        lut = _DEFAULT_CHAR_TO_IDX
+    else:
+        lut = {ch: i + 1 for i, ch in enumerate(charset)}
     rows = []
     prev = None
     for ch in text:
-        i = charset.index(ch) + 1
+        i = lut[ch]
         if prev == i:
             rows.append(0)
         rows.append(i)

@@ -219,8 +219,12 @@ def connected_component_boxes(
     Plays the role of the DB postprocess contour extraction
     (/root/reference/src/processors/db_postprocess.rs: binarize heatmap ->
     contours -> boxes, max_candidates=1000 at db_postprocess.rs:81) for the
-    deterministic synthetic corpus. Row-run union-find: run extraction is
-    numpy-vectorized; the union loop touches runs, not pixels.
+    deterministic synthetic corpus. Fully vectorized: runs are extracted
+    with one diff pass; adjacent-row overlaps are found with two global
+    searchsorted calls (run key intervals of different rows live in
+    disjoint bands, so no per-row loop); connectivity is solved by
+    min-label propagation with pointer jumping (O(log diameter)
+    vectorized sweeps), never a per-run Python loop.
 
     Returns (N,4) int64 AABBs [x0, y0, x1, y1] with exclusive x1/y1,
     components with pixel area < min_area dropped, capped at max_candidates
@@ -234,44 +238,53 @@ def connected_component_boxes(
     padded = np.zeros((h, w + 1), dtype=bool)
     padded[:, :w] = m
     flat = padded.ravel()
-    diff = np.diff(flat.astype(np.int8))
-    starts = np.flatnonzero(diff == 1) + 1
-    ends = np.flatnonzero(diff == -1) + 1
+    cur, prev = flat[1:], flat[:-1]
+    starts = np.flatnonzero(cur & ~prev) + 1
+    ends = np.flatnonzero(prev & ~cur) + 1
     if flat[0]:
         starts = np.concatenate([[0], starts])
-    # runs in padded-row coords
-    rows = starts // (w + 1)
-    rs = starts % (w + 1)
-    re = ends - rows * (w + 1)
+    # runs in padded-row coords; sorted by (row, rs) by construction
+    big = w + 1
+    rows = starts // big
+    rs = starts % big
+    re = ends - rows * big
 
     n = len(starts)
-    parent = np.arange(n)
+    # Overlap edges between adjacent rows, without a row loop: a run's
+    # [key_start, key_end) interval lives in its row's disjoint key band,
+    # so shifting run j's interval up one band and intersecting against
+    # ALL runs yields exactly the row-(r-1) overlaps. key_start and
+    # key_end are both globally sorted (runs within a row are disjoint).
+    key_start = starts  # rows * big + rs
+    key_end = rows * big + re
+    lo = np.searchsorted(key_end, key_start - big, side="right")
+    hi = np.searchsorted(key_start, key_end - big, side="left")
+    cnt = hi - lo  # 0 for first-row runs (negative keys) and no-overlap runs
+    np.maximum(cnt, 0, out=cnt)
+    total = int(cnt.sum())
+    # ragged [lo_j, hi_j) expansion -> edge endpoints (ii in row r-1, jj in r)
+    jj = np.repeat(np.arange(n), cnt)
+    offs = np.cumsum(cnt) - cnt
+    ii = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(offs, cnt))
 
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
+    # min-label propagation: hook both endpoints to the edge minimum, then
+    # pointer-jump until fixpoint. Converges in O(log diameter) sweeps.
+    label = np.arange(n)
+    while True:
+        prev = label
+        edge_min = np.minimum(label[ii], label[jj])
+        label = label.copy()
+        np.minimum.at(label, ii, edge_min)
+        np.minimum.at(label, jj, edge_min)
+        while True:
+            jumped = label[label]
+            if np.array_equal(jumped, label):
+                break
+            label = jumped
+        if np.array_equal(label, prev):
+            break
 
-    # union runs on adjacent rows that overlap in columns (two-pointer sweep)
-    row_start_idx = np.searchsorted(rows, np.arange(h + 1))
-    for r in range(1, h):
-        i = row_start_idx[r - 1]
-        i_end = row_start_idx[r]
-        j = row_start_idx[r]
-        j_end = row_start_idx[r + 1]
-        while i < i_end and j < j_end:
-            if rs[i] < re[j] and rs[j] < re[i]:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[rj] = ri
-            if re[i] < re[j]:
-                i += 1
-            else:
-                j += 1
-
-    roots = np.array([find(i) for i in range(n)])
-    uniq, inv = np.unique(roots, return_inverse=True)
+    uniq, inv = np.unique(label, return_inverse=True)
     k = len(uniq)
     x0 = np.full(k, w, dtype=np.int64)
     x1 = np.zeros(k, dtype=np.int64)

@@ -227,6 +227,11 @@ class MediaDetect:
         out = {k: [] for k in ("doc_id", "offset", "det_idx", "kind", "text",
                                "media_ref", "part", "crop", "crop_h", "crop_w", "wh_ratio",
                                "bx0", "by0", "bx1", "by1")}
+        # pass 1: decode + orient every page, then ONE batched detect pass
+        # (single connected-component sweep over the whole batch's pixels)
+        from ..stubs import detect_boxes_batch
+
+        metas, imgs = [], []
         for doc_id, offset, ref, part in zip(doc_ids, offsets, refs, parts):
             payload = self.store.get(ref)
             if payload is None:
@@ -237,7 +242,11 @@ class MediaDetect:
             img = decode_png(payload)[:, :, 0]  # grayscale channel
             cls = classify_orientation(img)
             img = correct_orientation(img, cls)
-            boxes = detect_boxes(img, min_area=self.min_area)
+            metas.append((doc_id, offset, ref, part, cls))
+            imgs.append(img)
+        box_lists = detect_boxes_batch(imgs, min_area=self.min_area)
+
+        for (doc_id, offset, ref, part, cls), img, boxes in zip(metas, imgs, box_lists):
             if len(boxes) == 0:
                 continue
             order = sort_quad_boxes_indices(boxes.astype(np.float64))
@@ -250,8 +259,14 @@ class MediaDetect:
             else:
                 report_boxes = boxes.astype(np.float64)
             for det_idx, j in enumerate(order):
-                quad = aabb_to_quad(boxes[j].astype(np.float64))[0]
-                crop = get_rotate_crop_image(img, quad)
+                # detector AABBs are integer axis-aligned rects: a plain
+                # slice IS get_rotate_crop_image's fast path (same result,
+                # none of the per-crop quad/warp setup). Vertical-text
+                # auto-rotate (h >= 1.5w -> 90deg CCW) kept identical.
+                x0, y0, x1, y1 = (int(v) for v in boxes[j])
+                crop = img[y0:y1, x0:x1]
+                if crop.shape[0] >= 1.5 * crop.shape[1]:
+                    crop = np.ascontiguousarray(np.rot90(crop, k=1))
                 h, w = crop.shape[:2]
                 out["doc_id"].append(doc_id)
                 out["offset"].append(offset)

@@ -48,6 +48,59 @@ def detect_boxes(img: np.ndarray, min_area: int = 9, max_candidates: int = 1000)
     return connected_component_boxes(gray < 128, min_area=min_area, max_candidates=max_candidates)
 
 
+def detect_boxes_batch(
+    imgs: list, min_area: int = 9, max_candidates: int = 1000
+) -> list:
+    """Batched detect_boxes: ONE connected-component pass over all images
+    of a map_batches batch (stacked into a tall mask with a blank separator
+    row, padded to the widest image), then boxes split back per image by
+    row band. Amortizes the fixed numpy cost of run extraction / label
+    propagation across the batch — per-image CC on ~60-row pages is
+    dominated by that fixed cost. Identical results to per-image
+    detect_boxes (components cannot cross the blank separators)."""
+    if not imgs:
+        return []
+    grays = [im if im.ndim == 2 else im[:, :, 0] for im in imgs]
+    out = []
+    # slab the stack so each CC pass stays cache-resident (~4 Mpx): the
+    # whole-batch mask at page sizes is 100s of MB and every pixel op
+    # becomes memory-bandwidth-bound, erasing the amortization win.
+    slab_px_budget = 4_000_000
+    i0 = 0
+    while i0 < len(grays):
+        i1, px = i0, 0
+        max_w = 1
+        while i1 < len(grays) and (px == 0 or px <= slab_px_budget):
+            g = grays[i1]
+            px += (g.shape[0] + 1) * g.shape[1]
+            max_w = max(max_w, g.shape[1])
+            i1 += 1
+        slab = grays[i0:i1]
+        total_h = sum(g.shape[0] + 1 for g in slab)
+        mask = np.zeros((total_h, max_w), dtype=bool)
+        offs = []
+        y = 0
+        for g in slab:
+            mask[y:y + g.shape[0], : g.shape[1]] = g < 128
+            offs.append(y)
+            y += g.shape[0] + 1
+        boxes = connected_component_boxes(mask, min_area=min_area, max_candidates=2**62)
+        order = np.argsort(boxes[:, 1], kind="stable")
+        boxes = boxes[order]
+        bands = np.searchsorted(boxes[:, 1], np.array(offs + [total_h]))
+        for k, g in enumerate(slab):
+            sel = boxes[bands[k]:bands[k + 1]].copy()
+            sel[:, 1] -= offs[k]
+            sel[:, 3] -= offs[k]
+            if len(sel) > max_candidates:
+                # rare: re-run the single image so the largest-area cap
+                # order is bit-identical to detect_boxes
+                sel = detect_boxes(g, min_area=min_area, max_candidates=max_candidates)
+            out.append(sel)
+        i0 = i1
+    return out
+
+
 def read_crop_text(crop: np.ndarray) -> str:
     """'Recognition core' stand-in: decode the pixel-encoded line text from
     an upright crop (fixtures contract: row 1 = [len][ord(char)...]).
