@@ -975,6 +975,109 @@ WHERE round(CASE WHEN len(a.grams) = 0 AND len(b.grams) = 0 THEN 1.0
 """
 
 
+def ngram_jaccard_dup_pairs(sf_dir: str, threshold: float = 0.8,
+                            n_shingle_parts: int = 256,
+                            max_shingle_freq: int | None = None):
+    """EXACT n-gram Jaccard near-dup pairs via a distributed shingle
+    inverted index — no MinHash approximation anywhere (contrast
+    minhash_dup_pairs, which uses LSH banding for candidates).
+
+    Shape (all-exchange keys are narrow ints, payloads never shuffle):
+      map_batches: doc -> unique word-3-gram crc32 shingles, exploded to
+        (spart, shingle, doc_id, n) rows where n = |doc's shingle set| and
+        spart = shingle % P (the coarse partition key — one Python call per
+        PARTITION, not per distinct shingle);
+      groupby(spart).map_groups: vectorized in-partition self-merge on
+        shingle -> per-pair partial intersection counts (doc_a < doc_b),
+        pruned by the exact size-ratio bound jaccard <= min(na,nb) /
+        max(na,nb) < threshold (kills almost every coincidental pair
+        BEFORE the pair exchange, losslessly);
+      groupby(ppart).map_groups: pair-keyed reduce on a coarse partition
+        (hash(doc_a,doc_b) % P) with a vectorized in-partition groupby —
+        NOT a native groupby on the ~|pairs|-cardinality key (that is the
+        measured 100s-class trap on this box) — summing partial
+        intersections and finishing jaccard = inter / (na + nb - inter).
+
+    Shingle-less (empty-text) docs carry a reserved sentinel shingle so
+    empty pairs score jaccard 1.0, matching the oracle's convention.
+
+    At 100 TB: set max_shingle_freq to drop stop-shingles shared by more
+    than F docs (bounds the per-shingle pair fan-out at a documented
+    recall cost); pairs whose every shared shingle is that common are the
+    only ones affected. Default None = exact.
+    """
+    from .functions.dedup import shingle_set
+
+    def explode_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        norm = df["text"].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        ids, shingles = [], []
+        for doc_id, t in zip(df["doc_id"], norm):
+            s = shingle_set(t, 3)
+            if len(s) == 0:
+                s = np.array([-1], dtype=np.int64)  # sentinel: empty doc
+            ids.append(np.full(len(s), doc_id, dtype=np.int64))
+            shingles.append(s)
+        counts = np.fromiter((len(s) for s in shingles), dtype=np.int64, count=len(shingles))
+        ids = np.concatenate(ids) if ids else np.zeros(0, np.int64)
+        sh = np.concatenate(shingles) if shingles else np.zeros(0, np.int64)
+        return pd.DataFrame({
+            "spart": (sh % n_shingle_parts).astype(np.int32),
+            "shingle": sh,
+            "doc_id": ids,
+            "n": np.repeat(counts, counts),
+        })
+
+    empty_partial = pd.DataFrame({
+        "ppart": pd.Series(dtype="int32"),
+        "doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+        "inter": pd.Series(dtype="int64"),
+        "na": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")})
+
+    def partial_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if max_shingle_freq is not None:
+            g = g[g.groupby("shingle")["shingle"].transform("size") <= max_shingle_freq]
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        na = m["n_a"].to_numpy()
+        nb = m["n_b"].to_numpy()
+        # doc_a < doc_b dedup + exact size-ratio prune: jaccard <= min/max
+        keep = (m["doc_id_a"].to_numpy() < m["doc_id_b"].to_numpy()) & (
+            np.minimum(na, nb) >= threshold * np.maximum(na, nb))
+        m = m[keep]
+        if len(m) == 0:
+            return empty_partial
+        agg = (m.groupby(["doc_id_a", "doc_id_b"], sort=False)
+                .agg(inter=("shingle", "size"), na=("n_a", "first"), nb=("n_b", "first"))
+                .reset_index()
+                .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}))
+        agg.insert(0, "ppart", ((agg["doc_a"] * 1000003 + agg["doc_b"])
+                                % n_shingle_parts).astype("int32"))
+        return agg
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
+        if len(g) == 0:
+            return empty
+        t = (g.groupby(["doc_a", "doc_b"], sort=False)
+              .agg(inter=("inter", "sum"), na=("na", "max"), nb=("nb", "max"))
+              .reset_index())
+        inter = t["inter"].to_numpy(dtype=np.float64)
+        union = t["na"].to_numpy(dtype=np.float64) + t["nb"].to_numpy(dtype=np.float64) - inter
+        jac = round_half_away(inter / union, 6)
+        out = pd.DataFrame({"doc_a": t["doc_a"].astype("int64"),
+                            "doc_b": t["doc_b"].astype("int64"), "jaccard": jac})
+        return out[out["jaccard"] >= threshold]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.map_batches(explode_shingles, batch_format="pandas")
+        .groupby("spart").map_groups(partial_pairs, batch_format="pandas")
+        .groupby("ppart").map_groups(reduce_pairs, batch_format="pandas")
+        .to_pandas()  # dup-bounded
+    )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def simhash_buckets(sf_dir: str):
     from .functions.dedup import simhash_batch
 
@@ -1595,6 +1698,7 @@ QUERIES = {
     "lang_id": lang_id,
     "minhash_dup_pairs": minhash_dup_pairs,
     "minhash_dup_clusters": minhash_dup_clusters,
+    "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
     "embedding_near_dup": embedding_near_dup,
     # rows-only (no SQL oracle)
     "fingerprints": fingerprints,
@@ -1638,6 +1742,9 @@ ORACLE_SQL = {
     "embedding_label_norms": EMB_NORMS_SQL,
     "lang_id": LANG_ID_SQL,
     "minhash_dup_pairs": MINHASH_PAIRS_SQL,
+    # same oracle: both pipelines compute the exact jaccard>=0.8 pair set,
+    # by different distributed algorithms (LSH-candidates vs inverted index)
+    "ngram_jaccard_dup_pairs": MINHASH_PAIRS_SQL,
     "minhash_dup_clusters": MINHASH_CLUSTERS_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "distinct_sources": DISTINCT_SOURCES_SQL,

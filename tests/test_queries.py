@@ -81,6 +81,7 @@ def oracle_pairs():
     "customers_with_highvalue_orders", "customers_without_highvalue_orders",
     "parts_by_brand", "supplier_balance_by_region",
     "lang_id", "minhash_dup_pairs", "minhash_dup_clusters", "embedding_near_dup",
+    "ngram_jaccard_dup_pairs",
 ])
 def test_query_matches_oracle(ray_session, duck, name):
     from oar_ocr_ray.queries import ORACLE_SQL, QUERIES
