@@ -356,15 +356,17 @@ class Recognize:
             by0 = crops["by0"].to_numpy(zero_copy_only=False)
             bx1 = crops["bx1"].to_numpy(zero_copy_only=False)
             by1 = crops["by1"].to_numpy(zero_copy_only=False)
-        from ..stubs import classify_line_orientation, correct_line_orientation
-
         for j in order:  # batch processed in wh-ratio order
             arr = np.frombuffer(blobs[j], dtype=np.uint8).reshape(hs[j], ws[j])
             # text-line orientation stage (PP-LCNet 0/180 classes,
-            # text_line_orientation_adapter.rs): classify + correct the
-            # crop before recognition
-            arr = correct_line_orientation(arr, classify_line_orientation(arr))
+            # text_line_orientation_adapter.rs), fused with the read:
+            # classify_line_orientation is "decodes upright?"; a failed
+            # upright read + successful half-turn read IS the 180 class,
+            # so one read doubles as classifier and recognizer input.
             raw = read_crop_text(arr)
+            if not raw:
+                flipped = np.ascontiguousarray(np.rot90(arr, 2))
+                raw = read_crop_text(flipped)
             logits = encode_ctc_logits(raw)
             text, conf, cols = ctc_greedy_decode(logits)
             texts[j] = text  # scatter back by original index (ocr.rs:797)
