@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "token_counts",
     "word_topk",
     "dedup_exact",
+    "ngram_jaccard_dup_pairs",
     "minhash_bands",
     "ann_topk",
     "lang_id",

@@ -976,7 +976,7 @@ WHERE round(CASE WHEN len(a.grams) = 0 AND len(b.grams) = 0 THEN 1.0
 
 
 def ngram_jaccard_dup_pairs(sf_dir: str, threshold: float = 0.8,
-                            n_shingle_parts: int = 256,
+                            n_shingle_parts: int | None = None,
                             max_shingle_freq: int | None = None):
     """EXACT n-gram Jaccard near-dup pairs via a distributed shingle
     inverted index — no MinHash approximation anywhere (contrast
@@ -1007,6 +1007,15 @@ def ngram_jaccard_dup_pairs(sf_dir: str, threshold: float = 0.8,
     only ones affected. Default None = exact.
     """
     from .functions.dedup import shingle_set
+
+    if n_shingle_parts is None:
+        # partition count tracks the cluster, not the data: ~2 per CPU
+        # balances skew against per-partition fixed cost (measured at
+        # sf0.1/32cpu: 64 parts 3.7 s vs 256 parts 4.4 s); results are
+        # partition-count-invariant.
+        import ray
+
+        n_shingle_parts = max(64, int(ray.cluster_resources().get("CPU", 32)) * 2)
 
     def explode_shingles(df: pd.DataFrame) -> pd.DataFrame:
         norm = df["text"].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
