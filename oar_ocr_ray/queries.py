@@ -515,6 +515,74 @@ FROM numbered GROUP BY user_id, session_idx
 """
 
 
+def events_asof_join(sf_dir: str, n_parts: int = 64):
+    """AS-OF JOIN — a custom operator Ray Data has no primitive for: each
+    purchase event matched to the SAME USER's most recent click at or
+    before it (classic last-touch attribution).
+
+    Partitioning assumption (documented, required): the as-of condition
+    carries a user_id equality, so both sides shuffle once on the COARSE
+    key user_id % P and the time-nearest match is resolved vectorized
+    inside each partition with pandas merge_asof(by=user_id,
+    direction=backward) over ts-sorted frames — one Python call per
+    partition. Without an equality key an as-of join needs a range
+    repartition on ts with boundary replication instead.
+
+    Output is tie-safe for the value hash: click_ts (not click row id) is
+    emitted, so concurrent equal-ts clicks cannot produce a
+    nondeterministic hash, and the gap is exact integer microseconds.
+    """
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["purchase", "click"])].copy()
+        df["part"] = (df["user_id"].to_numpy() % n_parts).astype(np.int32)
+        return df
+
+    def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "purchase_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
+            "purchase_ts": pd.Series(dtype="datetime64[us]"),
+            "click_ts": pd.Series(dtype="datetime64[us]"),
+            "gap_us": pd.Series(dtype="int64")})
+        left = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        right = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]].rename(columns={"event_id": "purchase_id"}),
+            right[["user_id", "ts"]].rename(columns={"ts": "click_ts"}),
+            left_on="ts", right_on="click_ts", by="user_id", direction="backward",
+        )
+        m = m[m["click_ts"].notna()]
+        if len(m) == 0:
+            return empty
+        out = pd.DataFrame({
+            "purchase_id": m["purchase_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "purchase_ts": m["ts"].astype("datetime64[us]"),
+            "click_ts": m["click_ts"].astype("datetime64[us]"),
+            "gap_us": (m["ts"].values.astype("datetime64[us]").astype("int64")
+                       - m["click_ts"].values.astype("datetime64[us]").astype("int64")),
+        })
+        return out
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part").map_groups(asof_partition, batch_format="pandas")
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       date_diff('microsecond', c.ts, p.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis / dedup / explode-regroup
 # ---------------------------------------------------------------------------
@@ -1696,6 +1764,7 @@ QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
     "events_sliding": events_sliding,
+    "events_asof_join": events_asof_join,
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "word_topk": word_topk,
@@ -1741,6 +1810,7 @@ ORACLE_SQL = {
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
+    "events_asof_join": EVENTS_ASOF_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "quality_scores": QUALITY_SQL,
     "word_topk": WORD_TOPK_SQL,

@@ -75,7 +75,8 @@ def oracle_pairs():
     "q5_nation_revenue_broadcast", "q6_revenue",
     "q10_returned_revenue", "q14_promo_revenue", "q18_large_orders",
     "orders_per_customer_topk", "filter_highvalue_orders", "events_tumbling",
-    "events_sessionize", "events_sliding", "token_counts", "quality_scores", "word_topk",
+    "events_sessionize", "events_sliding", "events_asof_join",
+    "token_counts", "quality_scores", "word_topk",
     "dedup_exact", "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
     "embedding_label_norms", "distinct_sources",
     "customers_with_highvalue_orders", "customers_without_highvalue_orders",
