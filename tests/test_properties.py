@@ -219,3 +219,54 @@ def test_grid_sample_identity_property(h, w):
     rng = np.random.default_rng(h * 97 + w)
     img = rng.integers(0, 255, size=(h, w), dtype=np.uint8)
     assert (grid_sample_bilinear(img, identity_grid(h, w)) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# Cross-algorithm / brute-force checks for the distributed join & dedup ops
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_equals_minhash_pair_set(ray_session):
+    """Two independent distributed algorithms (LSH-banding candidates vs
+    exact shingle inverted index) must produce the identical exact
+    jaccard>=0.8 pair set."""
+    from oar_ocr_ray.queries import minhash_dup_pairs, ngram_jaccard_dup_pairs
+
+    a = ngram_jaccard_dup_pairs("/root/testdata/sf0.001").reset_index(drop=True)
+    b = minhash_dup_pairs("/root/testdata/sf0.001").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a.astype({"doc_a": "int64", "doc_b": "int64"}),
+        b.astype({"doc_a": "int64", "doc_b": "int64"}),
+    )
+
+
+def test_ngram_jaccard_partition_count_invariant(ray_session):
+    from oar_ocr_ray.queries import ngram_jaccard_dup_pairs
+
+    a = ngram_jaccard_dup_pairs("/root/testdata/sf0.001", n_shingle_parts=7)
+    b = ngram_jaccard_dup_pairs("/root/testdata/sf0.001", n_shingle_parts=64)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_asof_join_matches_per_user_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from oar_ocr_ray.queries import events_asof_join
+
+    got = events_asof_join("/root/testdata/sf0.001").to_pandas()
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    rows = []
+    clicks = ev[ev["event_type"] == "click"]
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        c = clicks[(clicks["user_id"] == p["user_id"]) & (clicks["ts"] <= p["ts"])]
+        if len(c):
+            best = c.loc[c["ts"].idxmax()]
+            rows.append((p["event_id"], p["user_id"], p["ts"], best["ts"],
+                         int((p["ts"] - best["ts"]).value // 1000)))
+    want = pd.DataFrame(rows, columns=["purchase_id", "user_id", "purchase_ts",
+                                       "click_ts", "gap_us"])
+    got = got.sort_values("purchase_id").reset_index(drop=True)
+    want = want.sort_values("purchase_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["purchase_id"].to_numpy() == want["purchase_id"].to_numpy()).all()
+    assert (got["click_ts"].to_numpy() == want["click_ts"].astype("datetime64[us]").to_numpy()).all()
+    assert (got["gap_us"].to_numpy() == want["gap_us"].to_numpy()).all()
