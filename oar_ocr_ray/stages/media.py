@@ -114,7 +114,20 @@ def _with_null_crop_cols(batch: pa.Table) -> pa.Table:
 
 
 class MediaStore:
-    """Bucketed parquet media store with per-actor LRU bucket cache.
+    """Lazy bucketed media store: one SHARED object-store copy per bucket,
+    loaded on demand, LRU-bounded — the 100-TB-scale path.
+
+    A tiny named directory actor (one per media_dir per job) owns
+    bucket -> ObjectRef: the FIRST worker to need a bucket triggers one
+    parquet read + `ray.put`; every other worker maps the same Arrow table
+    zero-copy from shared memory (binary column buffers are not copied).
+    Worker heap holds only a small ref->row index per cached bucket, never
+    payload copies — the earlier per-worker dict-of-bytes cache duplicated
+    the whole corpus per worker and collapsed at 3x bench scale. The
+    directory LRU-drops old ObjectRefs past `max_bytes` so plasma can
+    evict; workers keep an LRU of at most `max_cached_buckets` table
+    handles. This is the single-node analogue of a node-local blob cache
+    over object storage.
 
     Only (media_ref, png) is ever read — ground-truth columns stay unread.
     """
@@ -125,8 +138,9 @@ class MediaStore:
         self._files = sorted(
             f for f in os.listdir(media_dir) if f.endswith(".parquet")
         )
-        self._ref_to_bucket: dict[str, str] | None = None
-        self._cache: OrderedDict[str, dict[str, bytes]] = OrderedDict()
+        self._dir_actor = None
+        self._tables: OrderedDict[str, object] = OrderedDict()
+        self._index: dict[str, dict[str, int]] = {}
 
     def _bucket_of(self, ref: str) -> str:
         import zlib
@@ -134,20 +148,78 @@ class MediaStore:
         b = zlib.crc32(ref.encode()) % len(self._files)
         return f"bucket-{b:03d}.parquet"
 
-    def _load_bucket(self, fname: str) -> dict[str, bytes]:
-        if fname in self._cache:
-            self._cache.move_to_end(fname)
-            return self._cache[fname]
-        t = pq.read_table(os.path.join(self.media_dir, fname), columns=["media_ref", "png"])
-        d = dict(zip(t["media_ref"].to_pylist(), t["png"].to_pylist()))
-        self._cache[fname] = d
-        if len(self._cache) > self.max_cached:
-            self._cache.popitem(last=False)
-        return d
+    def _directory(self):
+        if self._dir_actor is None:
+            import hashlib
+
+            name = "oar_media_dir_" + hashlib.md5(self.media_dir.encode()).hexdigest()[:12]
+            # detached: a worker process creates it on first miss, and
+            # Ray reaps idle workers — a creator-owned actor would die
+            # with that worker. Lives until ray.shutdown (node-cache
+            # semantics); keyed by media_dir so jobs share it.
+            self._dir_actor = MediaBucketDirectory.options(
+                name=name, get_if_exists=True, num_cpus=0, lifetime="detached"
+            ).remote(self.media_dir)
+        return self._dir_actor
+
+    def _load_bucket(self, fname: str):
+        if fname in self._tables:
+            self._tables.move_to_end(fname)
+            return self._tables[fname], self._index[fname]
+        import ray
+
+        t = ray.get(ray.get(self._directory().get_ref.remote(fname)))
+        self._tables[fname] = t
+        self._index[fname] = {r: i for i, r in enumerate(t["media_ref"].to_pylist())}
+        if len(self._tables) > self.max_cached:
+            old, _ = self._tables.popitem(last=False)
+            self._index.pop(old, None)
+        return t, self._index[fname]
 
     def get(self, ref: str) -> bytes | None:
         """Payload bytes, or None when the ref is absent from the store."""
-        return self._load_bucket(self._bucket_of(ref)).get(ref)
+        t, idx = self._load_bucket(self._bucket_of(ref))
+        i = idx.get(ref)
+        return t["png"][i].as_py() if i is not None else None
+
+
+import ray as _ray
+
+
+@_ray.remote
+class MediaBucketDirectory:
+    """bucket file -> shared ObjectRef, read+put once, LRU by bytes.
+
+    num_cpus=0: the actor only coordinates; parquet reads happen inside
+    its (rare) cache misses and must not reserve a pipeline CPU slot.
+    """
+
+    def __init__(self, media_dir: str, max_bytes: int = 8 << 30):
+        self.media_dir = media_dir
+        self.max_bytes = max_bytes
+        self._refs: OrderedDict[str, object] = OrderedDict()
+        self._sizes: dict[str, int] = {}
+        self._total = 0
+
+    def get_ref(self, fname: str):
+        if fname in self._refs:
+            self._refs.move_to_end(fname)
+            return self._refs[fname]
+        import pyarrow.parquet as _pq
+        import ray
+
+        t = _pq.read_table(
+            os.path.join(self.media_dir, fname), columns=["media_ref", "png"]
+        ).combine_chunks()
+        ref = ray.put(t)
+        size = t.nbytes
+        self._refs[fname] = ref
+        self._sizes[fname] = size
+        self._total += size
+        while self._total > self.max_bytes and len(self._refs) > 1:
+            old, _ = self._refs.popitem(last=False)
+            self._total -= self._sizes.pop(old)
+        return ref
 
 
 class SharedMediaStore:
