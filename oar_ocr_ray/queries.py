@@ -583,6 +583,103 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def parts_price_band_join(sf_dir: str):
+    """Broadcast RANGE JOIN: every part matched to the price band whose
+    [lo, hi) interval contains p_retailprice, then count + int-cent avg
+    per band. The small side (4 bands) never shuffles: with sorted,
+    non-overlapping intervals the range condition is one vectorized
+    np.searchsorted per batch (the documented assumption; overlapping
+    intervals would need an interval-index broadcast instead). The only
+    exchange is the 4-row partial-aggregate reduce."""
+    bands = [("budget", 900.0, 925.0), ("mid", 925.0, 950.0),
+             ("premium", 950.0, 975.0), ("luxury", 975.0, 1000.0)]
+    lows = np.array([b[1] for b in bands])
+    labels = np.array([b[0] for b in bands], dtype=object)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price = df["p_retailprice"].to_numpy()
+        idx = np.searchsorted(lows, price, side="right") - 1
+        cents = np.rint(price * 100).astype(np.int64)
+        g = pd.DataFrame({"band": labels[idx], "cents": cents})
+        agg = g.groupby("band", sort=False).agg(
+            n_parts=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        return agg
+
+    ds = _read(sf_dir, "part", ["p_retailprice"])
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()  # bands x batches rows
+    out = parts.groupby("band", sort=False).agg(
+        n_parts=("n_parts", "sum"), sum_cents=("sum_cents", "sum")).reset_index()
+    out["avg_price"] = round_half_away(
+        out["sum_cents"].to_numpy(np.float64) / out["n_parts"].to_numpy(np.float64) / 100, 2)
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out[["band", "n_parts", "avg_price"]].sort_values("band").reset_index(drop=True)
+
+
+PARTS_PRICE_BAND_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget', 900.0, 925.0), ('mid', 925.0, 950.0),
+         ('premium', 950.0, 975.0), ('luxury', 975.0, 1000.0)
+)
+SELECT band, count(*) AS n_parts,
+       round(sum(CAST(round(p_retailprice * 100) AS BIGINT)) * 1.0
+             / count(*) / 100, 2) AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+def token_percentiles_by_source(sf_dir: str):
+    """Exact distributed percentiles (p50/p90/p99 of per-doc token count,
+    grouped by source) via the HISTOGRAM COMBINER pattern: each batch
+    emits (source, n_tokens) -> count partials (bounded by sources x
+    distinct counts, tiny vs row count), the merged histogram's
+    cumulative sum yields exact discrete quantiles — no global sort, no
+    per-group value collection. Quantile rule mirrors DuckDB
+    quantile_disc: sorted_values[ceil(q*n) - 1]."""
+    from .functions.text_analysis import token_count
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = token_count(df)
+        g = (pd.DataFrame({"source": df["source"].to_numpy(), "n_tokens": t["n_tokens"]})
+             .groupby(["source", "n_tokens"], sort=False).size()
+             .rename("n").reset_index())
+        return g
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    hist = (
+        ds.map_batches(partial, batch_format="pandas").to_pandas()  # histogram-sized
+        .groupby(["source", "n_tokens"], sort=True)["n"].sum().reset_index()
+    )
+
+    rows = []
+    for source, g in hist.groupby("source", sort=True):
+        vals = g["n_tokens"].to_numpy()
+        cnts = g["n"].to_numpy()
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        qs = {}
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            idx = int(np.ceil(q * n)) - 1  # DuckDB quantile_disc rule
+            qs[name] = int(vals[np.searchsorted(cum, idx, side="right")])
+        rows.append((source, n, qs["p50"], qs["p90"], qs["p99"]))
+    return pd.DataFrame(rows, columns=["source", "n_docs", "p50", "p90", "p99"])
+
+
+TOKEN_PCTL_SQL = r"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       quantile_disc(n_tokens, 0.5) AS p50,
+       quantile_disc(n_tokens, 0.9) AS p90,
+       quantile_disc(n_tokens, 0.99) AS p99
+FROM t GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis / dedup / explode-regroup
 # ---------------------------------------------------------------------------
@@ -1765,6 +1862,8 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_sliding": events_sliding,
     "events_asof_join": events_asof_join,
+    "parts_price_band_join": parts_price_band_join,
+    "token_percentiles_by_source": token_percentiles_by_source,
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "word_topk": word_topk,
@@ -1811,6 +1910,8 @@ ORACLE_SQL = {
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
+    "parts_price_band_join": PARTS_PRICE_BAND_SQL,
+    "token_percentiles_by_source": TOKEN_PCTL_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "quality_scores": QUALITY_SQL,
     "word_topk": WORD_TOPK_SQL,

@@ -41,7 +41,7 @@ from ..ctc import ctc_greedy_decode, encode_ctc_logits
 from ..geometry import aabb_to_quad, get_rotate_crop_image
 from ..png_codec import decode_png
 from ..sorting import sort_quad_boxes_indices
-from ..stubs import classify_orientation, correct_orientation, detect_boxes, read_crop_text
+from ..stubs import classify_orientation, correct_orientation, read_crop_text
 
 CROP_FIELDS = [
     ("crop", pa.binary()),

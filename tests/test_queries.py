@@ -76,6 +76,7 @@ def oracle_pairs():
     "q10_returned_revenue", "q14_promo_revenue", "q18_large_orders",
     "orders_per_customer_topk", "filter_highvalue_orders", "events_tumbling",
     "events_sessionize", "events_sliding", "events_asof_join",
+    "parts_price_band_join", "token_percentiles_by_source",
     "token_counts", "quality_scores", "word_topk",
     "dedup_exact", "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
     "embedding_label_norms", "distinct_sources",
