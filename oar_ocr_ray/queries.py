@@ -596,9 +596,16 @@ def parts_price_band_join(sf_dir: str):
     lows = np.array([b[1] for b in bands])
     labels = np.array([b[0] for b in bands], dtype=object)
 
+    highs = np.array([b[2] for b in bands])
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         price = df["p_retailprice"].to_numpy()
         idx = np.searchsorted(lows, price, side="right") - 1
+        # inner-join semantics like the oracle: prices outside every
+        # [lo, hi) band are DROPPED (idx -1 would otherwise wrap to the
+        # last label; idx 3 would swallow prices above the last hi)
+        ok = (idx >= 0) & (price < highs[np.clip(idx, 0, len(highs) - 1)])
+        price, idx = price[ok], idx[ok]
         cents = np.rint(price * 100).astype(np.int64)
         g = pd.DataFrame({"band": labels[idx], "cents": cents})
         agg = g.groupby("band", sort=False).agg(
@@ -1213,9 +1220,12 @@ def ngram_jaccard_dup_pairs(sf_dir: str, threshold: float = 0.8,
         m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
         na = m["n_a"].to_numpy()
         nb = m["n_b"].to_numpy()
-        # doc_a < doc_b dedup + exact size-ratio prune: jaccard <= min/max
-        keep = (m["doc_id_a"].to_numpy() < m["doc_id_b"].to_numpy()) & (
-            np.minimum(na, nb) >= threshold * np.maximum(na, nb))
+        # doc_a < doc_b dedup + size-ratio prune: jaccard <= min/max. The
+        # bound is compared through the SAME round(6) the final filter
+        # (and the oracle) applies, so a boundary pair whose ratio rounds
+        # up to the threshold is never pruned — keeps the prune lossless.
+        ratio = round_half_away(np.minimum(na, nb) / np.maximum(na, nb), 6)
+        keep = (m["doc_id_a"].to_numpy() < m["doc_id_b"].to_numpy()) & (ratio >= threshold)
         m = m[keep]
         if len(m) == 0:
             return empty_partial

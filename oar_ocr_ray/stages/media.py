@@ -164,11 +164,18 @@ class MediaStore:
 
     def _load_bucket(self, fname: str):
         if fname in self._tables:
+            # staleness note: a cached table is trusted for this worker's
+            # lifetime (stat-per-get would be a syscall per media row);
+            # rewritten buckets are picked up at the next bucket load via
+            # the (mtime_ns, size) stamp below. Corpus regeneration in
+            # this repo always writes NEW directories, never in place.
             self._tables.move_to_end(fname)
             return self._tables[fname], self._index[fname]
         import ray
 
-        t = ray.get(ray.get(self._directory().get_ref.remote(fname)))
+        st = os.stat(os.path.join(self.media_dir, fname))
+        stamp = (st.st_mtime_ns, st.st_size)
+        t = ray.get(ray.get(self._directory().get_ref.remote(fname, stamp)))
         self._tables[fname] = t
         self._index[fname] = {r: i for i, r in enumerate(t["media_ref"].to_pylist())}
         if len(self._tables) > self.max_cached:
@@ -186,40 +193,73 @@ class MediaStore:
 import ray as _ray
 
 
-@_ray.remote
+@_ray.remote(max_concurrency=8)
 class MediaBucketDirectory:
     """bucket file -> shared ObjectRef, read+put once, LRU by bytes.
 
     num_cpus=0: the actor only coordinates; parquet reads happen inside
-    its (rare) cache misses and must not reserve a pipeline CPU slot.
+    its cache misses and must not reserve a pipeline CPU slot. The actor
+    is THREADED (max_concurrency=8) so cold-start misses for DIFFERENT
+    buckets read in parallel instead of serializing the whole cluster's
+    first pass behind one reader; per-bucket in-flight events dedup
+    concurrent misses for the SAME bucket. Objects are ray.put by the
+    actor (not by requesting workers) so their owner is this detached
+    actor — a worker-owned object would be lost when Ray reaps its idle
+    owner. Entries are keyed by the caller's (mtime_ns, size) stamp: a
+    rewritten bucket file is re-read, not served stale.
     """
 
     def __init__(self, media_dir: str, max_bytes: int = 8 << 30):
+        import threading
+
         self.media_dir = media_dir
         self.max_bytes = max_bytes
-        self._refs: OrderedDict[str, object] = OrderedDict()
+        self._refs: OrderedDict[str, tuple] = OrderedDict()  # fname -> (stamp, ref)
         self._sizes: dict[str, int] = {}
         self._total = 0
+        self._lock = threading.Lock()
+        self._inflight: dict[str, object] = {}  # fname -> Event
 
-    def get_ref(self, fname: str):
-        if fname in self._refs:
-            self._refs.move_to_end(fname)
-            return self._refs[fname]
-        import pyarrow.parquet as _pq
-        import ray
+    def get_ref(self, fname: str, stamp: tuple):
+        import threading
 
-        t = _pq.read_table(
-            os.path.join(self.media_dir, fname), columns=["media_ref", "png"]
-        ).combine_chunks()
-        ref = ray.put(t)
-        size = t.nbytes
-        self._refs[fname] = ref
-        self._sizes[fname] = size
-        self._total += size
-        while self._total > self.max_bytes and len(self._refs) > 1:
-            old, _ = self._refs.popitem(last=False)
-            self._total -= self._sizes.pop(old)
-        return ref
+        while True:
+            with self._lock:
+                e = self._refs.get(fname)
+                if e is not None and e[0] == tuple(stamp):
+                    self._refs.move_to_end(fname)
+                    return e[1]
+                ev = self._inflight.get(fname)
+                if ev is None:
+                    self._inflight[fname] = threading.Event()
+                    break
+            ev.wait()  # another thread is loading this bucket; retry after
+
+        try:
+            import pyarrow.parquet as _pq
+            import ray
+
+            t = _pq.read_table(
+                os.path.join(self.media_dir, fname), columns=["media_ref", "png"]
+            ).combine_chunks()
+            ref = ray.put(t)
+            size = t.nbytes
+            with self._lock:
+                if fname in self._sizes:  # stale entry being replaced
+                    self._total -= self._sizes.pop(fname)
+                    self._refs.pop(fname, None)
+                self._refs[fname] = (tuple(stamp), ref)
+                self._sizes[fname] = size
+                self._total += size
+                while self._total > self.max_bytes and len(self._refs) > 1:
+                    old, _ = self._refs.popitem(last=False)
+                    self._total -= self._sizes.pop(old)
+            return ref
+        finally:
+            with self._lock:
+                ev = self._inflight.pop(fname, None)
+            if ev is not None:
+                ev.set()
 
 
 class SharedMediaStore:
@@ -299,23 +339,44 @@ class MediaDetect:
         out = {k: [] for k in ("doc_id", "offset", "det_idx", "kind", "text",
                                "media_ref", "part", "crop", "crop_h", "crop_w", "wh_ratio",
                                "bx0", "by0", "bx1", "by1")}
-        # pass 1: decode + orient every page, then ONE batched detect pass
-        # (single connected-component sweep over the whole batch's pixels)
+        # decode + orient a bounded CHUNK of pages, run one batched detect
+        # pass over it (single connected-component sweep), emit its crops,
+        # then drop the decoded pages — peak heap per task is one chunk of
+        # uncompressed pixels, never the whole batch.
         from ..stubs import detect_boxes_batch
 
-        metas, imgs = [], []
-        for doc_id, offset, ref, part in zip(doc_ids, offsets, refs, parts):
-            payload = self.store.get(ref)
-            if payload is None:
-                # A lost media object must not kill a 10^12-doc run: the span
-                # contributes no lines (same as an empty page); counted per actor.
-                self.missing_media += 1
-                continue
-            img = decode_png(payload)[:, :, 0]  # grayscale channel
-            cls = classify_orientation(img)
-            img = correct_orientation(img, cls)
-            metas.append((doc_id, offset, ref, part, cls))
-            imgs.append(img)
+        CHUNK_PX = 16_000_000  # decoded-page buffer bound (~16 MB grayscale)
+
+        def chunks():
+            metas, imgs, px = [], [], 0
+            for doc_id, offset, ref, part in zip(doc_ids, offsets, refs, parts):
+                payload = self.store.get(ref)
+                if payload is None:
+                    # A lost media object must not kill a 10^12-doc run: the
+                    # span contributes no lines (same as an empty page);
+                    # counted per actor.
+                    self.missing_media += 1
+                    continue
+                img = decode_png(payload)[:, :, 0]  # grayscale channel
+                cls = classify_orientation(img)
+                img = correct_orientation(img, cls)
+                metas.append((doc_id, offset, ref, part, cls))
+                imgs.append(img)
+                px += img.shape[0] * img.shape[1]
+                if px >= CHUNK_PX:
+                    yield metas, imgs
+                    metas, imgs, px = [], [], 0
+            if metas:
+                yield metas, imgs
+
+        for metas, imgs in chunks():
+            self._detect_chunk(metas, imgs, detect_boxes_batch, out)
+
+        crops_tbl = self._crops_table(out)
+        crops_tbl = crops_tbl.select(passthrough.column_names).cast(passthrough.schema)
+        return pa.concat_tables([passthrough, crops_tbl])
+
+    def _detect_chunk(self, metas, imgs, detect_boxes_batch, out) -> None:
         box_lists = detect_boxes_batch(imgs, min_area=self.min_area)
 
         for (doc_id, offset, ref, part, cls), img, boxes in zip(metas, imgs, box_lists):
@@ -356,7 +417,9 @@ class MediaDetect:
                 out["bx1"].append(float(report_boxes[j][2]))
                 out["by1"].append(float(report_boxes[j][3]))
 
-        crops_tbl = pa.table(
+    @staticmethod
+    def _crops_table(out: dict) -> pa.Table:
+        return pa.table(
             {
                 "doc_id": pa.array(out["doc_id"], pa.string()),
                 "offset": pa.array(out["offset"], pa.int32()),
@@ -375,8 +438,6 @@ class MediaDetect:
                 "by1": pa.array(out["by1"], pa.float32()),
             }
         )
-        crops_tbl = crops_tbl.select(passthrough.column_names).cast(passthrough.schema)
-        return pa.concat_tables([passthrough, crops_tbl])
 
 
 class Recognize:

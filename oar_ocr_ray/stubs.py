@@ -68,12 +68,18 @@ def detect_boxes_batch(
     slab_px_budget = 4_000_000
     i0 = 0
     while i0 < len(grays):
-        i1, px = i0, 0
+        # budget the REAL allocation total_h x running-max_w, not the sum
+        # of per-image areas — one wide page among narrow ones would
+        # otherwise blow the mask far past the cache budget
+        i1, total_rows = i0, 0
         max_w = 1
-        while i1 < len(grays) and (px == 0 or px <= slab_px_budget):
+        while i1 < len(grays):
             g = grays[i1]
-            px += (g.shape[0] + 1) * g.shape[1]
-            max_w = max(max_w, g.shape[1])
+            new_rows = total_rows + g.shape[0] + 1
+            new_w = max(max_w, g.shape[1])
+            if i1 > i0 and new_rows * new_w > slab_px_budget:
+                break
+            total_rows, max_w = new_rows, new_w
             i1 += 1
         slab = grays[i0:i1]
         total_h = sum(g.shape[0] + 1 for g in slab)
