@@ -312,6 +312,7 @@ class MediaDetect:
         min_area: int = 9,
         max_cached_buckets: int = 64,
         report_original_frame: bool = False,
+        chunk_px: int = 16_000_000,  # decoded-page buffer bound (~16 MB gray)
     ):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
@@ -323,6 +324,7 @@ class MediaDetect:
         # boxes in the STORED image frame. The graft invariant compares in
         # the upright frame (both pipeline and golden), so default False.
         self.report_original_frame = report_original_frame
+        self.chunk_px = chunk_px
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         is_img = pc.equal(batch["kind"], "image")
@@ -345,7 +347,7 @@ class MediaDetect:
         # uncompressed pixels, never the whole batch.
         from ..stubs import detect_boxes_batch
 
-        CHUNK_PX = 16_000_000  # decoded-page buffer bound (~16 MB grayscale)
+        CHUNK_PX = self.chunk_px  # decoded-page buffer bound
 
         def chunks():
             metas, imgs, px = [], [], 0

@@ -136,3 +136,52 @@ def test_media_detect_original_frame_boxes(ray_session, corpus):
         checked += 1
     # upright-frame boxes are unchanged for rot=0 images
     assert (up["bx0"].to_pylist().count(None)) == (orig["bx0"].to_pylist().count(None))
+
+
+def test_media_detect_chunk_invariance(corpus):
+    """Decoded-page chunking must not change MediaDetect output: chunk_px=1
+    (one page per detect chunk) vs the default bound, identical tables."""
+    import pyarrow as pa
+
+    from oar_ocr_ray.stages.explode import make_explode_spans
+    from oar_ocr_ray.stages.media import MediaDetect
+    from oar_ocr_ray.stages.text import strip_text_spans
+
+    docs = pq.read_table(corpus["doc_files"][0])
+    batch = strip_text_spans(make_explode_spans(8)(docs))
+    a = MediaDetect(media_dir=corpus["media_dir"])(batch)
+    b = MediaDetect(media_dir=corpus["media_dir"], chunk_px=1)(batch)
+    assert a.equals(b)
+
+
+def test_media_store_stamp_detects_rewritten_bucket(ray_session, tmp_path):
+    """A rewritten bucket parquet (same filename) must be re-read by the
+    shared directory, not served stale, keyed on the (mtime_ns, size)
+    stamp."""
+    import os
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+
+    from oar_ocr_ray.png_codec import encode_png
+    from oar_ocr_ray.stages.media import MediaStore
+
+    d = str(tmp_path / "media")
+    os.makedirs(d)
+    ref = "m-0"
+
+    def write(val):
+        img = np.full((8, 8), val, dtype=np.uint8)
+        t = pa.table({"media_ref": pa.array([ref]), "png": pa.array([encode_png(img)])})
+        pq.write_table(t, os.path.join(d, "bucket-000.parquet"))
+
+    write(11)
+    s1 = MediaStore(d)
+    from oar_ocr_ray.png_codec import decode_png
+
+    assert decode_png(s1.get(ref))[0, 0, 0] == 11
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    write(222)
+    s2 = MediaStore(d)  # fresh worker-local cache, same named directory actor
+    assert decode_png(s2.get(ref))[0, 0, 0] == 222
