@@ -202,7 +202,14 @@ def run_extract(
     # run with different --shards/--docs would silently skip or re-process
     # inputs — fail loudly instead.
     for sid, rec in done.items():
-        if sid < len(shards) and rec.get("inputs") != shards[sid]:
+        if sid >= len(shards):
+            raise RuntimeError(
+                f"resume mismatch: committed shard {sid} exceeds this run's "
+                f"shard count {len(shards)} — its output would silently ride "
+                "along in the result set; re-run with the original "
+                "--docs/--shards or use a fresh --out"
+            )
+        if rec.get("inputs") != shards[sid]:
             raise RuntimeError(
                 f"resume mismatch: committed shard {sid} covered inputs "
                 f"{rec.get('inputs')} but this run computes {shards[sid]}; "

@@ -80,14 +80,20 @@ def q1_pricing_summary(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"].to_numpy() <= cutoff]
+        # money in integer cents so partial sums are EXACT and batch-order
+        # independent: a float sum's last-ulp wobble at a .xxxx5 rounding
+        # tie would hash-mismatch the oracle (the parts_by_brand lesson)
+        price_cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_pct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
         df = df.assign(
-            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
+            price_cents=price_cents,
+            disc_c4=price_cents * (100 - disc_pct),  # 10^-4 dollars, exact
             n=1,
         )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False, sort=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            sum_qty=("l_quantity", "sum"),  # quantities are integral: exact
+            sum_base_price=("price_cents", "sum"),
+            sum_disc_price=("disc_c4", "sum"),
             count_order=("n", "sum"),
         )
         return g
@@ -103,22 +109,32 @@ def q1_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus"],
         ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"],
     )
+    cents = df["sum_base_price"].to_numpy(dtype=np.float64)  # int64-exact
+    c4 = df["sum_disc_price"].to_numpy(dtype=np.float64)
+    cnt = df["count_order"].to_numpy(dtype=np.float64)
     df["avg_qty"] = round_half_away(df["sum_qty"] / df["count_order"], 4)
-    df["avg_price"] = round_half_away(df["sum_base_price"] / df["count_order"], 4)
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        df[c] = round_half_away(df[c], 2)
+    df["avg_price"] = round_half_away(cents / 100.0 / cnt, 4)
+    df["sum_qty"] = round_half_away(df["sum_qty"], 2)
+    df["sum_base_price"] = round_half_away(cents / 100.0, 2)
+    df["sum_disc_price"] = round_half_away(c4 / 10000.0, 2)
     df["count_order"] = df["count_order"].astype("int64")
     return df
 
 
+# int-cent formulation = the DECIMAL-exact semantics; the float-sum form is
+# batch-order dependent at rounding-boundary ties (parts_by_brand lesson)
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                            AS sum_qty,
-       round(sum(l_extendedprice), 2)                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+                                                            AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+                                                            AS sum_disc_price,
        count(*)                                             AS count_order,
        round(sum(l_quantity) / count(*), 4)                 AS avg_qty,
-       round(sum(l_extendedprice) / count(*), 4)            AS avg_price
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 4)
+                                                            AS avg_price
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -218,7 +234,11 @@ def q5_nation_revenue(sf_dir: str):
     cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    # partitions track NODES, not cores: measured per-partition shuffle
+    # overhead on one node is 8 parts 7.6s / 32 parts 29.6s / 64 parts
+    # 108s at sf0.1 — more partitions per node only adds exchange cost,
+    # while more nodes genuinely need more partitions for memory fit.
+    n_parts = max(8, 4 * len(ray.nodes()))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     joined = line.join(
@@ -1792,22 +1812,30 @@ def supplier_balance_by_region(sf_dir: str):
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # integer-cent sums: exact and batch-order independent (see Q1_SQL)
         g = pd.DataFrame(
-            {"r_name": df["s_nationkey"].map(nk_to_region), "bal": df["s_acctbal"], "n": 1}
+            {"r_name": df["s_nationkey"].map(nk_to_region),
+             "bal_cents": np.rint(df["s_acctbal"].to_numpy() * 100).astype(np.int64),
+             "n": 1}
         )
-        return g.groupby("r_name", as_index=False, sort=False).agg(bal=("bal", "sum"), n=("n", "sum"))
+        return g.groupby("r_name", as_index=False, sort=False).agg(
+            bal_cents=("bal_cents", "sum"), n=("n", "sum"))
 
     ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-    df = _reduce_small(ds.map_batches(partial, batch_format="pandas"), ["r_name"], ["bal", "n"])
+    df = _reduce_small(ds.map_batches(partial, batch_format="pandas"), ["r_name"], ["bal_cents", "n"])
     out = pd.DataFrame(
         {"r_name": df["r_name"], "n_suppliers": df["n"].astype("int64"),
-         "avg_acctbal": round_half_away(df["bal"] / df["n"], 4)}
+         "avg_acctbal": round_half_away(
+             df["bal_cents"].to_numpy(dtype=np.float64) / 100.0
+             / df["n"].to_numpy(dtype=np.float64), 4)}
     )
     return out
 
 
 SUPPLIER_REGION_SQL = """
-SELECT r.r_name, count(*) AS n_suppliers, round(avg(s.s_acctbal), 4) AS avg_acctbal
+SELECT r.r_name, count(*) AS n_suppliers,
+       round(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) / 100.0 / count(*), 4)
+         AS avg_acctbal
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name

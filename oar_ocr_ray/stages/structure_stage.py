@@ -41,7 +41,6 @@ from ..stubs import (
     detect_boxes,
     detect_layout_blocks,
     detect_table_cells,
-    read_crop_text,
 )
 from .media import MediaStore, SharedMediaStore
 
@@ -85,16 +84,15 @@ class StructureExtract:
         if len(containers) and len(line_boxes):
             line_boxes = split_boxes_by_containers(line_boxes, containers)
 
-        from ..stubs import classify_line_orientation, correct_line_orientation
+        from ..stubs import read_line_text
 
         texts, boxes = [], []
         for b in line_boxes:
             x0, y0, x1, y1 = (int(np.floor(b[0])), int(np.floor(b[1])),
                               int(np.ceil(b[2])), int(np.ceil(b[3])))
             crop = img[max(y0, 0):min(y1, h), max(x0, 0):min(x1, w)]
-            # text-line orientation classify + correct before recognition
-            crop = correct_line_orientation(crop, classify_line_orientation(crop))
-            t = read_crop_text(crop)
+            # orientation-fused recognition (0/180 classify = upright read)
+            t = read_line_text(crop)
             if t:  # empty recognition dropped (structure.rs:2200 precedent)
                 texts.append(t)
                 boxes.append(b)
@@ -104,7 +102,7 @@ class StructureExtract:
         # blocks with no matched text get a whole-block recognition attempt
         for j in fallback_ocr_blocks(lb, labels, boxes):
             bx0, by0 = max(int(lb[j, 0]), 0), max(int(lb[j, 1]), 0)
-            t = read_crop_text(img[by0:int(lb[j, 3]), bx0:int(lb[j, 2])])
+            t = read_line_text(img[by0:int(lb[j, 3]), bx0:int(lb[j, 2])])
             if t:
                 boxes = np.concatenate([boxes, lb[j:j + 1]])
                 texts.append(t)
@@ -134,7 +132,7 @@ class StructureExtract:
                         new_texts.append(texts[int(s)])
                         continue
                     sx0, sy0 = max(int(np.floor(b[0])), 0), max(int(np.floor(b[1])), 0)
-                    t = read_crop_text(img[sy0:int(np.ceil(b[3])), sx0:int(np.ceil(b[2]))])
+                    t = read_line_text(img[sy0:int(np.ceil(b[3])), sx0:int(np.ceil(b[2]))])
                     if t:
                         new_boxes.append(b)
                         new_texts.append(t)

@@ -215,6 +215,20 @@ def detect_region_blocks(img: np.ndarray, min_area: int = 50) -> np.ndarray:
     return connected_component_boxes(mask, min_area=min_area).astype(np.float64)
 
 
+def read_line_text(crop: np.ndarray) -> str:
+    """Text-line orientation + recognition, fused: one upright read doubles
+    as the 0/180 classifier (classify_line_orientation is 'does it decode
+    upright?'), a failed read pays one half-turn retry. Equivalent to
+    correct_line_orientation(classify_line_orientation(...)) followed by
+    read_crop_text, at one decode instead of up to three. Use this in
+    every recognition path so flipped lines survive fallback OCR and
+    cell-split re-recognition too."""
+    t = read_crop_text(crop)
+    if t:
+        return t
+    return read_crop_text(np.ascontiguousarray(np.rot90(crop, 2)))
+
+
 def classify_line_orientation(crop: np.ndarray) -> int:
     """'Text-line orientation' stand-in (reference PP-LCNet 2-class 0/180,
     src/domain/adapters/text_line_orientation_adapter.rs): decides whether

@@ -95,6 +95,26 @@ def test_run_extract_resume_rejects_shard_drift(ray_session, corpus, tmp_path):
         )
 
 
+def test_run_extract_resume_rejects_committed_shard_beyond_count(
+    ray_session, corpus, tmp_path
+):
+    """A committed shard id >= the new run's shard count would silently ride
+    along in the output (its inputs are never re-validated) — must fail."""
+    import pytest
+
+    out = str(tmp_path / "out_beyond")
+    run_extract(
+        corpus["doc_files"][:2], corpus["media_dir"], out,
+        n_shards=2, n_parts=8, det_concurrency=1, rec_concurrency=1,
+    )
+    with pytest.raises(RuntimeError, match="exceeds this run's shard count"):
+        run_extract(
+            corpus["doc_files"][:1], corpus["media_dir"], out,
+            n_shards=2,  # collapses to 1 shard for a single file
+            n_parts=8, det_concurrency=1, rec_concurrency=1,
+        )
+
+
 def test_output_schema(ray_session, corpus, tmp_path):
     ds = build_extract_pipeline(
         corpus["doc_files"][:1], corpus["media_dir"], n_parts=4,
