@@ -28,6 +28,24 @@ import pyarrow as pa
 from .numeric import round_half_away
 
 
+def rev_c4(price, disc) -> np.ndarray:
+    """l_extendedprice * (1 - l_discount) in EXACT 10^-4 dollars (int64).
+
+    2-decimal money x 2-decimal discount is an integer in this unit, so
+    partial sums are batch-order independent: float revenue sums can
+    wobble in the last ulp with batch boundaries (they change with
+    num_cpus) and flip a round() at a .xx5 tie against the oracle —
+    the parts_by_brand failure class, closed here for every revenue
+    aggregate. Oracles use the matching BIGINT formulation (_REV_SQL)."""
+    pc = np.rint(np.asarray(price, dtype=np.float64) * 100).astype(np.int64)
+    dp = np.rint(np.asarray(disc, dtype=np.float64) * 100).astype(np.int64)
+    return pc * (100 - dp)
+
+
+_REV_SQL = ("CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+
+
 def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
@@ -156,15 +174,18 @@ def q6_revenue(sf_dir: str):
             & (df["l_quantity"] < 24)
         )
         d = df[m]
-        return pd.DataFrame({"rev": [(d["l_extendedprice"] * d["l_discount"]).sum()]})
+        pc = np.rint(d["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dp = np.rint(d["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"rev": [int((pc * dp).sum())]})  # exact 10^-4 $
 
     ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
     total = ds.map_batches(partial, batch_format="pandas").aggregate(Sum("rev", alias_name="revenue"))
-    return pd.DataFrame({"revenue": [round_half_away(float(total["revenue"] or 0.0), 2)]})
+    return pd.DataFrame({"revenue": [round_half_away(float(total["revenue"] or 0) / 10000.0, 2)]})
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0, 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -188,21 +209,23 @@ def q3_top_orders(sf_dir: str):
         lookup = ray.get(okey_to_date)
         m = df["l_orderkey"].isin(lookup.keys()) & (df["l_shipdate"].to_numpy() > cutoff)
         d = df[m]
-        d = d.assign(rev=d["l_extendedprice"] * (1 - d["l_discount"]))
+        d = d.assign(rev=rev_c4(d["l_extendedprice"], d["l_discount"]))
         return d.groupby("l_orderkey", as_index=False, sort=False).agg(revenue=("rev", "sum"))
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
     agg = ds.map_batches(partial, batch_format="pandas").groupby("l_orderkey").aggregate(
         Sum("revenue", alias_name="revenue")
     )
-    top = _topk_blocks(agg, 10, ["revenue", "l_orderkey"], [False, True],
+    dollars = agg.map_batches(
+        lambda df: df.assign(revenue=df["revenue"] / 10000.0), batch_format="pandas")
+    top = _topk_blocks(dollars, 10, ["revenue", "l_orderkey"], [False, True],
                        round_cols={"revenue": 2})
     return top.rename(columns={"l_orderkey": "o_orderkey"})
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT l.l_orderkey AS o_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(sum({_REV_SQL}) / 10000.0, 2) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -249,7 +272,7 @@ def q5_nation_revenue(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         nk = df["o_custkey"].map(cust_nation)
         name = nk.map(nation_name)
-        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        rev = rev_c4(df["l_extendedprice"], df["l_discount"])
         g = pd.DataFrame({"n_name": name, "rev": rev}).groupby("n_name", as_index=False, sort=False)[
             "rev"
         ].sum()
@@ -257,13 +280,13 @@ def q5_nation_revenue(sf_dir: str):
 
     partials = joined.map_batches(partial, batch_format="pandas")
     df = _reduce_small(partials, ["n_name"], ["revenue"])
-    df["revenue"] = round_half_away(df["revenue"], 2)
+    df["revenue"] = round_half_away(df["revenue"] / 10000.0, 2)
     return df
 
 
-Q5_SQL = """
+Q5_SQL = f"""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(sum({_REV_SQL}) / 10000.0, 2) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -293,14 +316,14 @@ def q5_nation_revenue_broadcast(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(okey_to_name)
         name = df["l_orderkey"].map(lookup)
-        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        rev = rev_c4(df["l_extendedprice"], df["l_discount"])
         g = pd.DataFrame({"n_name": name, "rev": rev}).groupby(
             "n_name", as_index=False, sort=False)["rev"].sum()
         return g.rename(columns={"rev": "revenue"})
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     df = _reduce_small(line.map_batches(partial, batch_format="pandas"), ["n_name"], ["revenue"])
-    df["revenue"] = round_half_away(df["revenue"], 2)
+    df["revenue"] = round_half_away(df["revenue"] / 10000.0, 2)
     return df
 
 
@@ -318,9 +341,9 @@ def q14_promo_revenue(sf_dir: str):
         promo = ray.get(promo_ref)
         m = (df["l_shipdate"].to_numpy() >= lo) & (df["l_shipdate"].to_numpy() < hi)
         d = df[m]
-        rev = d["l_extendedprice"] * (1 - d["l_discount"])
+        rev = rev_c4(d["l_extendedprice"], d["l_discount"])
         is_promo = d["l_partkey"].isin(promo).to_numpy()
-        return pd.DataFrame({"promo": [rev[is_promo].sum()], "total": [rev.sum()]})
+        return pd.DataFrame({"promo": [int(rev[is_promo].sum())], "total": [int(rev.sum())]})
 
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
     df = ds.map_batches(partial, batch_format="pandas").to_pandas()
@@ -328,10 +351,10 @@ def q14_promo_revenue(sf_dir: str):
     return pd.DataFrame({"promo_revenue": [round_half_away(100.0 * promo / total, 4)]})
 
 
-Q14_SQL = """
+Q14_SQL = f"""
 SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+                              THEN {_REV_SQL} ELSE 0 END)
+             / sum({_REV_SQL}), 4) AS promo_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-02-01'
 """
@@ -354,23 +377,25 @@ def q10_returned_revenue(sf_dir: str, k: int = 20):
         lookup = ray.get(ok_to_ck)
         d = df[df["l_returnflag"] == "R"]
         ck = d["l_orderkey"].map(lookup)
-        rev = d["l_extendedprice"] * (1 - d["l_discount"])
+        rev = rev_c4(d["l_extendedprice"], d["l_discount"])
         return pd.DataFrame({"c_custkey": ck, "rev": rev}).groupby(
             "c_custkey", as_index=False, sort=False)["rev"].sum()
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
     agg = ds.map_batches(partial, batch_format="pandas").groupby("c_custkey").aggregate(
         Sum("rev", alias_name="revenue"))
-    top = _topk_blocks(agg, k, ["revenue", "c_custkey"], [False, True],
+    dollars = agg.map_batches(
+        lambda df: df.assign(revenue=df["revenue"] / 10000.0), batch_format="pandas")
+    top = _topk_blocks(dollars, k, ["revenue", "c_custkey"], [False, True],
                        round_cols={"revenue": 2})
     top["c_name"] = top["c_custkey"].map(names)
     top["c_custkey"] = top["c_custkey"].astype("int64")
     return top
 
 
-Q10_SQL = """
+Q10_SQL = f"""
 SELECT o.o_custkey AS c_custkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum({_REV_SQL}) / 10000.0, 2) AS revenue,
        any_value(c.c_name) AS c_name
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -476,16 +501,21 @@ def events_tumbling(sf_dir: str):
     from .functions.windows import tumbling_window
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
-    partials = ds.map_batches(lambda df: tumbling_window(df, 60), batch_format="pandas")
+    # value in exact int cents before the window partials (see rev_c4)
+    partials = ds.map_batches(
+        lambda df: tumbling_window(
+            df.assign(value=np.rint(df["value"].to_numpy() * 100).astype(np.int64)), 60),
+        batch_format="pandas")
     df = _reduce_small(partials, ["event_type", "window_start"], ["n_events", "sum_value"])
     df["n_events"] = df["n_events"].astype("int64")
-    df["sum_value"] = round_half_away(df["sum_value"], 2)
+    df["sum_value"] = round_half_away(df["sum_value"] / 100.0, 2)
     return df
 
 
 EVENTS_TUMBLING_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -501,6 +531,8 @@ def events_sessionize(sf_dir: str):
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["part"] = (df["user_id"].to_numpy() % 64).astype(np.int32)
+        # value in exact int cents so session sums are order-independent
+        df["value"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
         return df
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
@@ -512,7 +544,7 @@ def events_sessionize(sf_dir: str):
         from .numeric import round_half_away as _rha
 
         df["n_events"] = df["n_events"].astype("int64")
-        df["sum_value"] = _rha(df["sum_value"], 2)
+        df["sum_value"] = _rha(df["sum_value"] / 100.0, 2)
         return df
 
     return out.map_batches(finalize, batch_format="pandas")
@@ -530,7 +562,8 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
 FROM numbered GROUP BY user_id, session_idx
 """
 
@@ -1755,17 +1788,21 @@ def events_sliding(sf_dir: str):
     from .functions.windows import sliding_window
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-    partials = ds.map_batches(lambda df: sliding_window(df, 60, 15), batch_format="pandas")
+    partials = ds.map_batches(
+        lambda df: sliding_window(
+            df.assign(value=np.rint(df["value"].to_numpy() * 100).astype(np.int64)), 60, 15),
+        batch_format="pandas")
     df = _reduce_small(partials, ["event_type", "window_start"], ["n_events", "sum_value"])
     df["n_events"] = df["n_events"].astype("int64")
-    df["sum_value"] = round_half_away(df["sum_value"], 2)
+    df["sum_value"] = round_half_away(df["sum_value"] / 100.0, 2)
     return df
 
 
 EVENTS_SLIDING_SQL = """
 SELECT event_type,
        make_timestamp(((floor(epoch(ts) / 900) * 900 - ks.k * 900)::BIGINT) * 1000000) AS window_start,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
 FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
 GROUP BY 1, 2
 """
