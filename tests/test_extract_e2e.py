@@ -205,3 +205,20 @@ def test_media_store_stamp_detects_rewritten_bucket(ray_session, tmp_path):
     write(222)
     s2 = MediaStore(d)  # fresh worker-local cache, same named directory actor
     assert decode_png(s2.get(ref))[0, 0, 0] == 222
+
+
+def test_actors_stage_mode_matches_golden(ray_session, corpus):
+    """stage_mode='actors' (dedicated actor pools, the heavyweight-model
+    configuration) must produce the same span sequences as the default
+    tasks mode."""
+    ds = build_extract_pipeline(
+        corpus["doc_files"], corpus["media_dir"], n_parts=8,
+        stage_mode="actors", det_concurrency=1, rec_concurrency=1,
+    )
+    table = ds.to_arrow_refs()
+    import ray
+
+    import pyarrow as pa
+
+    tbl = pa.concat_tables([ray.get(r) for r in table])
+    assert_matches_golden(tbl, corpus["golden_path"], N_DOCS)
