@@ -19,12 +19,23 @@ All per-batch math is numpy; shuffles are groupbys on small key columns.
 
 from __future__ import annotations
 
+import hashlib
+import struct
 import zlib
 
 import numpy as np
 import pandas as pd
 
 _MERSENNE = (1 << 61) - 1
+
+
+def md5_lower64(s: str) -> int:
+    """Lower 64 bits of md5 exactly as DuckDB's ``md5_number_lower``
+    computes them (little-endian of digest bytes 8..16) — the oracle-parity
+    feature hash: every query whose semantics depend on hash VALUES (simhash
+    signatures, minhash permutations, fingerprints) uses this so a DuckDB
+    oracle can reproduce the numbers bit-for-bit."""
+    return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:16])[0]
 
 
 def _norm_text(s: pd.Series) -> pd.Series:
@@ -53,6 +64,24 @@ def shingle_set(text: str, n: int = 3) -> np.ndarray:
     )
 
 
+def shingle_hashes_md5(text: str, n: int = 3) -> np.ndarray:
+    """Distinct word n-gram shingles hashed by md5_lower64 (uint64).
+
+    Same gram convention as ``shingle_set`` (whole text as one gram below n
+    words, empty -> none), but DuckDB-reproducible: unnest + list_transform
+    over ``string_split`` + ``md5_number_lower`` yields identical values."""
+    words = text.split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(
+        np.fromiter((md5_lower64(g) for g in grams), dtype=np.uint64, count=len(grams))
+    )
+
+
 class MinHasher:
     """Stateful minhash signer (actor pool): permutation params built once.
 
@@ -63,7 +92,9 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3, seed: int = 7):
         assert num_perm % bands == 0
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        # a < 2^31 and shingle hashes < 2^32 keep a*h+b < 2^63 + 2^61: exact
+        # in uint64 here and in the oracle's HUGEINT arithmetic
+        self.a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.int64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
         self.num_perm = num_perm
         self.bands = bands
@@ -71,19 +102,26 @@ class MinHasher:
         self.ngram = ngram
 
     def signature(self, text: str) -> np.ndarray:
-        sh = shingle_set(text, self.ngram)
+        # md5-based shingles (>>32: 32-bit domain) so a DuckDB oracle
+        # reproduces signatures exactly (MINHASH_BANDS_SQL); every product
+        # a*h+b < 2^63 + 2^61 is exact in uint64
+        sh = shingle_hashes_md5(text, self.ngram) >> np.uint64(32)
         if len(sh) == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
-        # (P, S) universal hashing, min over shingles
-        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
-        return v.min(axis=1)
+        a = self.a.astype(np.uint64)[:, None]
+        b = self.b.astype(np.uint64)[:, None]
+        v = (a * sh[None, :] + b) % np.uint64(_MERSENNE)
+        return v.min(axis=1).astype(np.int64)
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
-        """Collapse each band to one int64 bucket key."""
+        """Collapse each band to one int64 bucket key: md5_lower64 of the
+        comma-joined decimal band values (>>1 to stay in int64), which
+        DuckDB reproduces via md5_number_lower(array_to_string(...))."""
         out = np.empty(self.bands, dtype=np.int64)
         for i in range(self.bands):
             band = sig[i * self.rows:(i + 1) * self.rows]
-            out[i] = zlib.crc32(band.tobytes())
+            key = ",".join(str(int(v)) for v in band)
+            out[i] = md5_lower64(key) >> 1
         return out
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -109,16 +147,12 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def simhash64(text: str, ngram: int = 3) -> int:
-    """64-bit simhash over word n-gram crc32 features (splitmix64-mixed)."""
-    sh = shingle_set(text, ngram)
-    if len(sh) == 0:
+    """64-bit simhash over distinct word n-gram md5_lower64 features —
+    DuckDB-reproducible (SIMHASH_BUCKETS_SQL computes the same bit votes
+    from md5_number_lower of the same grams)."""
+    x = shingle_hashes_md5(text, ngram)
+    if len(x) == 0:
         return 0
-    x = sh.astype(np.uint64)
-    # splitmix64 to spread crc32 into 64 bits
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
     bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
     return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())

@@ -109,45 +109,32 @@ class LangId:
         return out
 
 
-_FP_BASE = np.uint64(0x100000001B3)  # FNV-ish odd multiplier (public constant)
+def _min_window_md5(text: str, window: int) -> int:
+    """Winnowing-style min over md5_lower64 of every `window`-char substring
+    (whole string when shorter) — each value reproducible in DuckDB as
+    md5_number_lower(substr(txt, i, window))."""
+    from .dedup import md5_lower64
 
-
-def _rolling_min_hash(data: bytes, window: int) -> int:
-    """Min over Rabin-Karp byte-window hashes, vectorized: one
-    sliding_window_view + one matmul-free weighted sum per document (uint64
-    wraparound arithmetic), instead of a Python loop per byte offset."""
-    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    if len(b) == 0:
-        return 0
-    if len(b) < window:
-        window = len(b)
-    weights = _FP_BASE ** np.arange(window - 1, -1, -1, dtype=np.uint64)
-    wins = np.lib.stride_tricks.sliding_window_view(b, window)
-    h = (wins * weights[None, :]).sum(axis=1, dtype=np.uint64)
-    # splitmix64 finalizer to spread the low-entropy polynomial into 64 bits
-    h = h + np.uint64(0x9E3779B97F4A7C15)
-    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    h = h ^ (h >> np.uint64(31))
-    return int(h.min())
+    if len(text) <= window:
+        return md5_lower64(text) >> 1
+    return min(md5_lower64(text[i:i + window]) for i in range(len(text) - window + 1)) >> 1
 
 
 def fingerprint(df: pd.DataFrame, col: str = "text", window: int = 8) -> pd.DataFrame:
-    """Document fingerprint: crc32 of the full normalized text plus a
-    winnowing-style min over rolling `window`-byte hashes — a cheap content
-    fingerprint for near-dup candidate grouping. Rolling hashes are numpy
-    (sliding_window_view), not per-offset Python."""
-    import zlib
+    """Document fingerprint: md5_lower64 of the full whitespace-normalized
+    text plus a winnowing-style min over rolling `window`-char md5 hashes —
+    a cheap content fingerprint for near-dup candidate grouping, exactly
+    reproducible by the DuckDB oracle (FINGERPRINTS_SQL)."""
+    from .dedup import md5_lower64
 
     texts = df[col].fillna("").str.replace(r"\s+", " ", regex=True).str.strip()
     full = np.fromiter(
-        (zlib.crc32(t.encode()) for t in texts), dtype=np.int64, count=len(texts)
+        ((md5_lower64(t) >> 1) for t in texts), dtype=np.int64, count=len(texts)
     )
     mins = np.fromiter(
-        (np.int64(np.uint64(_rolling_min_hash(t.encode(), window)) >> np.uint64(1)) for t in texts),
-        dtype=np.int64, count=len(texts),
+        (_min_window_md5(t, window) for t in texts), dtype=np.int64, count=len(texts)
     )
     out = df.copy()
-    out["fp_crc"] = full
+    out["fp_full"] = full
     out["fp_min_shingle"] = mins
     return out

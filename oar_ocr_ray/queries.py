@@ -1086,9 +1086,27 @@ def fingerprints(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        lambda df: fingerprint(df)[["doc_id", "fp_crc", "fp_min_shingle"]],
+        lambda df: fingerprint(df)[["doc_id", "fp_full", "fp_min_shingle"]],
         batch_format="pandas",
     )
+
+
+# md5-parity oracle: md5_number_lower == Python md5 digest bytes 8..16
+# little-endian (verified), so the winnowing min and whole-text hash are
+# bit-identical. substr is char-based on both sides.
+FINGERPRINTS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS txt FROM documents
+), g AS (
+  SELECT doc_id, min(md5_number_lower(substr(txt, CAST(i AS INT), 8)) >> 1) AS fp_min
+  FROM (SELECT doc_id, txt, unnest(range(1, greatest(length(txt) - 7, 1) + 1)) AS i FROM t)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(md5_number_lower(t.txt) >> 1 AS BIGINT) AS fp_full,
+       CAST(g.fp_min AS BIGINT) AS fp_min_shingle
+FROM t JOIN g USING (doc_id)
+"""
 
 
 def minhash_bands(sf_dir: str):
@@ -1370,6 +1388,105 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
                              "hamming": pd.Series(dtype="int64")})
     return out.drop_duplicates(["doc_a", "doc_b"]).sort_values(
         ["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# Shared CTE fragment: distinct word-3-gram md5 hashes per doc, identical
+# gram convention to shingle_hashes_md5 (whole text as one gram below 3
+# words, empty text -> no rows).
+_GRAM_HASH_CTE = r"""
+t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN n = '' THEN []
+              WHEN len(string_split(n, ' ')) < 3 THEN [n]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(string_split(n, ' ')) - 2),
+                     i -> string_split(n, ' ')[i] || ' ' ||
+                          string_split(n, ' ')[i+1] || ' ' ||
+                          string_split(n, ' ')[i+2]))
+         END AS grams
+  FROM t
+), h AS (
+  SELECT doc_id, md5_number_lower(unnest(grams)) AS h FROM g
+)"""
+
+# Per-bit votes over the md5 feature hashes -> signed 64-bit signature
+# (bit 63 contributes -2^63 so the BIGINT equals numpy's uint64->int64
+# reinterpretation) + 16-bit quadrant keys.
+_SIMHASH_SIG_CTE = _GRAM_HASH_CTE + r""", bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(64)) AS b)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN CASE WHEN b = 63 THEN -9223372036854775808
+                                       ELSE (1::BIGINT << CAST(b AS INT)) END
+                  ELSE 0 END)::BIGINT AS simhash,
+         sum(CASE WHEN v > 0 AND b < 16 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)::BIGINT AS quad0,
+         sum(CASE WHEN v > 0 AND b >= 16 AND b < 32 THEN (1::BIGINT << CAST(b - 16 AS INT)) ELSE 0 END)::BIGINT AS quad1,
+         sum(CASE WHEN v > 0 AND b >= 32 AND b < 48 THEN (1::BIGINT << CAST(b - 32 AS INT)) ELSE 0 END)::BIGINT AS quad2,
+         sum(CASE WHEN v > 0 AND b >= 48 THEN (1::BIGINT << CAST(b - 48 AS INT)) ELSE 0 END)::BIGINT AS quad3
+  FROM bits GROUP BY doc_id
+), full_sig AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash,
+         coalesce(s.quad0, 0) AS quad0, coalesce(s.quad1, 0) AS quad1,
+         coalesce(s.quad2, 0) AS quad2, coalesce(s.quad3, 0) AS quad3
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)"""
+
+SIMHASH_BUCKETS_SQL = "WITH " + _SIMHASH_SIG_CTE + "\nSELECT * FROM full_sig"
+
+# Exact-pairs oracle: every doc pair at Hamming <= 3 (bit_count of the
+# two's-complement xor = popcount of the uint64 pattern). The Ray side's
+# quadrant buckets have complete recall at <= 3 differing bits (pigeonhole
+# over 4x16-bit quadrants), so the sets match exactly.
+SIMHASH_PAIRS_SQL = "WITH " + _SIMHASH_SIG_CTE + r"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM full_sig a JOIN full_sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _minhash_bands_sql() -> str:
+    """MINHASH_BANDS_SQL is generated so the oracle shares the EXACT seeded
+    permutation constants with MinHasher (seed 7): a*h+b over HUGE-safe
+    UBIGINT (h is the md5 hash >> 32, so products stay < 2^63), min per
+    permutation, bands of 4 joined as decimal CSV and re-hashed with md5."""
+    from .functions.dedup import _MERSENNE, MinHasher
+
+    mh = MinHasher()
+    perms = ", ".join(
+        f"({p}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for p, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    empty_key = ",".join([str(_MERSENNE)] * mh.rows)
+    return rf"""
+WITH {_GRAM_HASH_CTE},
+hd AS (SELECT DISTINCT doc_id, h >> 32 AS h FROM h),
+perms(p, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, p, min((a * h + b) % {_MERSENNE}::UBIGINT) AS mv
+  FROM hd CROSS JOIN perms GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, CAST(p // {mh.rows} AS INT) AS band,
+         string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS key
+  FROM sig GROUP BY doc_id, p // {mh.rows}
+),
+empties AS (
+  SELECT d.doc_id, CAST(b AS INT) AS band,
+         CAST(md5_number_lower('{empty_key}') >> 1 AS BIGINT) AS band_hash
+  FROM documents d, (SELECT unnest(range({mh.bands})) AS b)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM hd)
+)
+SELECT doc_id, band, CAST(md5_number_lower(key) >> 1 AS BIGINT) AS band_hash FROM bands
+UNION ALL SELECT * FROM empties
+"""
+
+
+MINHASH_BANDS_SQL = _minhash_bands_sql()
 
 
 def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nbits: int = 8):
@@ -2001,6 +2118,10 @@ ORACLE_SQL = {
     # by different distributed algorithms (LSH-candidates vs inverted index)
     "ngram_jaccard_dup_pairs": MINHASH_PAIRS_SQL,
     "minhash_dup_clusters": MINHASH_CLUSTERS_SQL,
+    "fingerprints": FINGERPRINTS_SQL,
+    "simhash_buckets": SIMHASH_BUCKETS_SQL,
+    "simhash_dup_pairs": SIMHASH_PAIRS_SQL,
+    "minhash_bands": MINHASH_BANDS_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "distinct_sources": DISTINCT_SOURCES_SQL,
     "customers_with_highvalue_orders": SEMI_JOIN_SQL,

@@ -59,7 +59,7 @@ def test_lang_id():
 def test_fingerprint_deterministic():
     a = fingerprint(docs("hello world, this is text"))
     b = fingerprint(docs("hello world, this is text"))
-    assert a["fp_crc"].tolist() == b["fp_crc"].tolist()
+    assert a["fp_full"].tolist() == b["fp_full"].tolist()
     assert a["fp_min_shingle"].tolist() == b["fp_min_shingle"].tolist()
 
 

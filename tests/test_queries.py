@@ -84,6 +84,7 @@ def oracle_pairs():
     "parts_by_brand", "supplier_balance_by_region",
     "lang_id", "minhash_dup_pairs", "minhash_dup_clusters", "embedding_near_dup",
     "ngram_jaccard_dup_pairs",
+    "fingerprints", "simhash_buckets", "simhash_dup_pairs", "minhash_bands",
 ])
 def test_query_matches_oracle(ray_session, duck, name):
     from oar_ocr_ray.queries import ORACLE_SQL, QUERIES
@@ -94,7 +95,6 @@ def test_query_matches_oracle(ray_session, duck, name):
 
 
 @pytest.mark.parametrize("name", [
-    "fingerprints", "minhash_bands", "simhash_buckets", "simhash_dup_pairs",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup_lsh", "structure_extract",
     "ocr_word_boxes", "crop_aspect_buckets",
 ])
