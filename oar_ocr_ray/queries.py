@@ -1519,6 +1519,64 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nbits: int = 8):
     return topk_reduce(partials.to_pandas(), k)
 
 
+def _lsh_bucket_sql(col: str, nbits: int, dim: int = 64, seed: int = 11) -> str:
+    """SQL expression mirroring HyperplaneLsh(dim, nbits, seed).bucket(v).
+
+    The hyperplanes depend only on (seed, nbits, dim) — dim is a fixed
+    corpus property (64 at every sf) — so the plane constants can be
+    INLINED as literals into a static, sf-independent oracle. Bucket bits
+    are signs of dot products, which are invariant under the positive
+    per-vector normalization scaling, so raw-vs-normalized input yields
+    identical buckets on both sides.
+    """
+    from .functions.ann import HyperplaneLsh
+
+    planes = HyperplaneLsh(dim, nbits=nbits, seed=seed).planes
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(v)) for v in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {lit}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + "\n + ".join(terms) + ")"
+
+
+# Exact oracle for the LSH-bucketed ANN: candidates = vectors whose bucket is
+# in the union of the 5 query buckets; score/rank identical to ANN_TOPK_SQL.
+ANN_LSH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5
+), qb AS (
+  SELECT DISTINCT {_lsh_bucket_sql('qe', 8)} AS bucket FROM q
+), cand AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {_lsh_bucket_sql('embedding', 8)} IN (SELECT bucket FROM qb)
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS score
+  FROM q CROSS JOIN cand c
+)
+SELECT query_id, vec_id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 10
+"""
+
+# Exact oracle for the LSH-bucketed near-dup path: pairs co-located in a
+# 4-bit hyperplane bucket with round(cosine,6) >= threshold.
+EMB_NEAR_DUP_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 4)} AS bucket
+  FROM embeddings
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                   CAST(y.embedding AS DOUBLE[])), 6) >= 0.45
+"""
+
 
 
 def _structure_corpus(sf_dir: str) -> dict:
@@ -2069,16 +2127,16 @@ QUERIES = {
     "minhash_dup_clusters": minhash_dup_clusters,
     "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
     "embedding_near_dup": embedding_near_dup,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "ann_lsh_topk": ann_lsh_topk,
     # rows-only (no SQL oracle)
     "fingerprints": fingerprints,
     "minhash_bands": minhash_bands,
     "simhash_buckets": simhash_buckets,
     "simhash_dup_pairs": simhash_dup_pairs,
-    "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "structure_extract": structure_extract,
     "distinct_sources": distinct_sources,
-    "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "ocr_word_boxes": ocr_word_boxes,
     "crop_aspect_buckets": crop_aspect_buckets,
     "customers_with_highvalue_orders": customers_with_highvalue_orders,
@@ -2123,6 +2181,8 @@ ORACLE_SQL = {
     "simhash_dup_pairs": SIMHASH_PAIRS_SQL,
     "minhash_bands": MINHASH_BANDS_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "embedding_near_dup_lsh": EMB_NEAR_DUP_LSH_SQL,
     "distinct_sources": DISTINCT_SOURCES_SQL,
     "customers_with_highvalue_orders": SEMI_JOIN_SQL,
     "customers_without_highvalue_orders": ANTI_JOIN_SQL,
