@@ -313,6 +313,7 @@ class MediaDetect:
         max_cached_buckets: int = 64,
         report_original_frame: bool = False,
         chunk_px: int = 16_000_000,  # decoded-page buffer bound (~16 MB gray)
+        det_max_side: int = 4000,  # DetResizeForTest max_side_limit (constants.rs)
     ):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
@@ -325,6 +326,7 @@ class MediaDetect:
         # the upright frame (both pipeline and golden), so default False.
         self.report_original_frame = report_original_frame
         self.chunk_px = chunk_px
+        self.det_max_side = det_max_side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         is_img = pc.equal(batch["kind"], "image")
@@ -378,8 +380,39 @@ class MediaDetect:
         crops_tbl = crops_tbl.select(passthrough.column_names).cast(passthrough.schema)
         return pa.concat_tables([passthrough, crops_tbl])
 
+    def _det_input(self, img: np.ndarray) -> tuple[np.ndarray, tuple[float, float]]:
+        """Model-boundary detect preprocessing (DetResizeForTest policy,
+        resize_detection.rs:244-308): pages over det_max_side are downscaled
+        for DETECTION ONLY (boxes map back by ratio, crops slice the
+        original — the reference's dt_boxes/ratio dataflow); pages under
+        32 px are white-padded (resize_detection.rs:183-215). Both are no-ops
+        for in-range pages, so the policy costs one shape check per image."""
+        from ..preprocess import det_resize, pad_to_min_size
+
+        h, w = img.shape[:2]
+        if max(h, w) > self.det_max_side:
+            return det_resize(img, limit_side_len=self.det_max_side,
+                              limit_type="max", max_side_limit=self.det_max_side)
+        if min(h, w) < 32:
+            # padding is white background: boxes stay valid in the original
+            # frame (clipped to original dims below)
+            return pad_to_min_size(img, 32), (1.0, 1.0)
+        return img, (1.0, 1.0)
+
     def _detect_chunk(self, metas, imgs, detect_boxes_batch, out) -> None:
-        box_lists = detect_boxes_batch(imgs, min_area=self.min_area)
+        det_pairs = [self._det_input(im) for im in imgs]
+        box_lists = detect_boxes_batch([p[0] for p in det_pairs], min_area=self.min_area)
+        for boxes, (_, (ry, rx)), img in zip(box_lists, det_pairs, imgs):
+            if len(boxes) and (ry, rx) != (1.0, 1.0):
+                # back to the original frame: floor/ceil so the mapped box
+                # covers at least the detected extent, clipped to the page
+                b = boxes.astype(np.float64)
+                b[:, [0, 1]] = np.floor(b[:, [0, 1]] / [rx, ry])
+                b[:, [2, 3]] = np.ceil(b[:, [2, 3]] / [rx, ry])
+                boxes[:, 0] = np.clip(b[:, 0], 0, img.shape[1])
+                boxes[:, 1] = np.clip(b[:, 1], 0, img.shape[0])
+                boxes[:, 2] = np.clip(b[:, 2], 0, img.shape[1])
+                boxes[:, 3] = np.clip(b[:, 3], 0, img.shape[0])
 
         for (doc_id, offset, ref, part, cls), img, boxes in zip(metas, imgs, box_lists):
             if len(boxes) == 0:

@@ -92,3 +92,61 @@ def test_resize_bilinear_identity_and_shape():
     img = np.arange(12, dtype=np.uint8).reshape(3, 4)
     assert (resize_bilinear(img, 3, 4) == img).all()
     assert resize_bilinear(img, 6, 8).shape == (6, 8)
+
+
+def _empty_det_out():
+    return {k: [] for k in ("doc_id", "offset", "det_idx", "kind", "text",
+                            "media_ref", "part", "crop", "crop_h", "crop_w", "wh_ratio",
+                            "bx0", "by0", "bx1", "by1")}
+
+
+def test_det_resize_cap_wired_maps_boxes_back():
+    """Oversized pages go through the DetResizeForTest max-side cap inside
+    MediaDetect: detection runs on the downscaled image, boxes map back by
+    ratio (floor/ceil cover), crops slice the ORIGINAL page."""
+    from oar_ocr_ray.stages.media import MediaDetect
+    from oar_ocr_ray.stubs import detect_boxes_batch
+
+    md = MediaDetect(media_refs={}, det_max_side=512)
+    img = np.full((256, 4096), 255, np.uint8)
+    img[100:140, 1000:1400] = 0
+    out = _empty_det_out()
+    md._detect_chunk([("d", 0, "r", 0, 0)], [img], detect_boxes_batch, out)
+    assert len(out["bx0"]) == 1
+    # thresholding after bilinear downscale erodes edges by up to ~2 resized
+    # px (the reference's DB pipeline compensates with unclip); the mapped
+    # box must land within that band of the true block on every side
+    tol = 2 * (4096 / 512)
+    assert abs(out["bx0"][0] - 1000) <= tol and abs(out["bx1"][0] - 1400) <= tol
+    assert abs(out["by0"][0] - 100) <= tol and abs(out["by1"][0] - 140) <= tol
+    # crop was sliced from the ORIGINAL frame: full-resolution extent
+    assert out["crop_w"][0] >= 400 - tol
+
+
+def test_det_resize_noop_below_cap():
+    """In-range pages bypass the resize entirely (bit-identical boxes)."""
+    from oar_ocr_ray.stages.media import MediaDetect
+    from oar_ocr_ray.stubs import detect_boxes, detect_boxes_batch
+
+    md = MediaDetect(media_refs={})
+    img = np.full((100, 200), 255, np.uint8)
+    img[10:20, 30:90] = 0
+    out = _empty_det_out()
+    md._detect_chunk([("d", 0, "r", 0, 0)], [img], detect_boxes_batch, out)
+    direct = detect_boxes(img)
+    assert [out["bx0"][0], out["by0"][0], out["bx1"][0], out["by1"][0]] == \
+        [float(v) for v in direct[0]]
+
+
+def test_small_page_padded_before_detect():
+    """Sub-32px pages are white-padded (resize_detection.rs small-image
+    guard); boxes stay exact in the original frame."""
+    from oar_ocr_ray.stages.media import MediaDetect
+    from oar_ocr_ray.stubs import detect_boxes_batch
+
+    md = MediaDetect(media_refs={})
+    img = np.full((10, 20), 255, np.uint8)
+    img[2:8, 3:15] = 0
+    out = _empty_det_out()
+    md._detect_chunk([("d", 0, "r", 0, 0)], [img], detect_boxes_batch, out)
+    assert (out["bx0"][0], out["by0"][0], out["bx1"][0], out["by1"][0]) == (3.0, 2.0, 15.0, 8.0)
