@@ -813,6 +813,36 @@ GROUP BY word ORDER BY n DESC, word LIMIT 20
 """
 
 
+def train_test_split(sf_dir: str):
+    """Deterministic hash split (80/10/10 train/val/test): the standard
+    training-data assignment at corpus scale — a pure map over doc_id
+    (md5-bucket mod 100), no shuffle, no state, stable under resharding
+    and across runs. Oracle-parity via md5_number_lower."""
+    from .functions.dedup import md5_lower64
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        # hash the decimal rendering: doc_id is int64, DuckDB side casts
+        # to VARCHAR the same way
+        b = np.fromiter(
+            (md5_lower64(str(x)) % 100 for x in df["doc_id"]),
+            dtype=np.int64, count=len(df),
+        )
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "split": split})
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+TRAIN_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+            WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup: content-hash in map_batches -> groupby on a COARSE
     partition of the hash (256 partitions, not one Python group per
@@ -2118,6 +2148,7 @@ QUERIES = {
     "quality_scores": quality_scores,
     "word_topk": word_topk,
     "dedup_exact": dedup_exact,
+    "train_test_split": train_test_split,
     "span_roundtrip": span_roundtrip,
     "boilerplate_strip_docs": boilerplate_strip_docs,
     "ann_topk": ann_topk,
@@ -2166,6 +2197,7 @@ ORACLE_SQL = {
     "quality_scores": QUALITY_SQL,
     "word_topk": WORD_TOPK_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "train_test_split": TRAIN_SPLIT_SQL,
     "span_roundtrip": SPAN_ROUNDTRIP_SQL,
     "boilerplate_strip_docs": BOILERPLATE_SQL,
     "ann_topk": ANN_TOPK_SQL,
