@@ -142,3 +142,93 @@ class IvfIndex:
         q = _normalize(np.asarray(queries, dtype=np.float64))
         sims = q @ self.centroids.T
         return np.argsort(-sims, axis=1)[:, :nprobe]
+
+
+# ---------------------------------------------------------------------------
+# Oracle-parity IVF: every arithmetic step quantized to 6 decimals so the
+# whole index build + search is reproducible bit-for-bit in ANSI SQL
+# (see queries.ANN_IVF_SQL). The fit is deterministic: init = the K
+# lowest-vec_id sample vectors, then fixed Lloyd iterations over quantized
+# unit vectors. Cross-engine float parity: sums/means differ from SQL only
+# in final-ulp error, and every intermediate is rounded half-away to 6
+# decimals immediately after, so both engines carry identical doubles.
+# ---------------------------------------------------------------------------
+
+def quantized_unit(m: np.ndarray) -> np.ndarray:
+    """L2-normalize rows then round half-away to 6 decimals (float64)."""
+    m = np.asarray(m, dtype=np.float64)
+    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    return round_half_away(m / n, 6)
+
+
+def ivf_parity_fit(nv_sample: np.ndarray, k: int = 8, iters: int = 2) -> np.ndarray:
+    """Deterministic Lloyd over quantized unit vectors.
+
+    nv_sample must be quantized_unit() rows ordered by vec_id ascending.
+    Init: first k rows. Assignment: argmax of round(dot, 6) with lowest-
+    cluster-id tiebreak (numpy argmax returns the first max — identical to
+    SQL's ORDER BY sim DESC, cid ASC). Update: quantized_unit of the
+    element-wise member mean; empty clusters keep their centroid.
+    """
+    c = nv_sample[: min(k, len(nv_sample))].copy()
+    for _ in range(iters):
+        sims = round_half_away(nv_sample @ c.T, 6)
+        assign = sims.argmax(axis=1)
+        for j in range(len(c)):
+            members = nv_sample[assign == j]
+            if len(members):
+                c[j] = quantized_unit(members.mean(axis=0)[None, :])[0]
+    return c
+
+
+def ivf_parity_probe(nq: np.ndarray, centroids: np.ndarray, nprobe: int) -> list[np.ndarray]:
+    """Per-query nprobe nearest clusters by (round(dot,6) DESC, cid ASC)."""
+    sims = round_half_away(nq @ centroids.T, 6)
+    out = []
+    for qi in range(len(nq)):
+        order = np.lexsort((np.arange(centroids.shape[0]), -sims[qi]))[:nprobe]
+        out.append(order)
+    return out
+
+
+class IvfParityScorer:
+    """Actor-pool stage: assigns each batch vector to its final-centroid
+    cluster, then scores it against only the queries probing that cluster.
+    Emits partial top-k (query_id, vec_id, score) rows; scores are
+    round(dot of quantized unit vectors, 6) for oracle parity."""
+
+    def __init__(self, queries_ref, centroids_ref, probe_lists, k: int = 10):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.qids = np.asarray(q["ids"])
+        self.qm = np.asarray(q["matrix"], dtype=np.float64)  # already quantized
+        self.cent = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.probe = [np.asarray(p) for p in probe_lists]  # per query, tiny
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "vec_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+        if len(df) == 0:
+            return empty
+        nv = quantized_unit(embedding_matrix(df))
+        cluster = round_half_away(nv @ self.cent.T, 6).argmax(axis=1)
+        vec_ids = df["vec_id"].to_numpy()
+        out = []
+        for qi in range(len(self.qids)):
+            mask = np.isin(cluster, self.probe[qi])
+            if not mask.any():
+                continue
+            ids = vec_ids[mask]
+            scores = round_half_away(self.qm[qi] @ nv[mask].T, 6)
+            kk = min(self.k, len(ids))
+            order = np.lexsort((ids, -scores))[:kk]
+            out.append(pd.DataFrame(
+                {"query_id": np.full(kk, self.qids[qi]),
+                 "vec_id": ids[order], "score": scores[order]}
+            ))
+        return pd.concat(out, ignore_index=True) if out else empty

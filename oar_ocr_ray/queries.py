@@ -2086,41 +2086,122 @@ GROUP BY r.r_name
 
 
 
-def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nprobe: int = 4):
-    """Rows-only: IVF ANN — centroids fit driver-side on a BOUNDED row-group
-    sample (<=4096 vectors, never the full table), broadcast; batches assign
-    clusters vectorized; queries score only probed clusters."""
+def _sample_nv_by_vecid(sf_dir: str, max_rows: int = 4096) -> np.ndarray:
+    """Quantized unit vectors of the max_rows LOWEST-vec_id embeddings, in
+    vec_id order — without a full-table driver read: scan only the narrow
+    vec_id column to find the cutoff, then read through a row filter.
+    vec_id order (not file order) makes the sample reproducible in SQL
+    (ORDER BY vec_id LIMIT n)."""
+    import pyarrow.parquet as pq
+
+    from .functions.ann import quantized_unit
+
+    ids = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id"])["vec_id"].to_pylist()
+    cutoff = sorted(ids)[: max_rows][-1]
+    t = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<=", cutoff)],
+    ).to_pandas().sort_values("vec_id")
+    return quantized_unit(np.stack(t["embedding"].to_numpy()).astype(np.float64))
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nprobe: int = 3,
+                 n_clusters: int = 8, iters: int = 2):
+    """IVF ANN with an EXACT DuckDB oracle (ANN_IVF_SQL).
+
+    Centroids fit driver-side on a BOUNDED vec_id-ordered sample (<=4096
+    vectors, never the full table) with a fully deterministic Lloyd
+    (first-K init, every intermediate quantized to 6 decimals — see
+    functions.ann.ivf_parity_fit), broadcast once; batches assign clusters
+    vectorized and score only against the queries probing their cluster.
+    The quantization makes the whole build SQL-reproducible; the structure
+    (bounded fit + broadcast + per-batch assign + nprobe pruning) is the
+    standard IVF scale path."""
     import ray
 
-    from .functions.ann import BruteForceScorer, IvfIndex, _normalize, topk_reduce
+    from .functions.ann import (
+        IvfParityScorer, ivf_parity_fit, ivf_parity_probe, quantized_unit, topk_reduce,
+    )
 
-    m = _sample_embedding_matrix(sf_dir, max_rows=4096)
-    ivf = IvfIndex(n_clusters=min(16, max(2, len(m) // 32))).fit(m)
+    nv_sample = _sample_nv_by_vecid(sf_dir, max_rows=4096)
+    centroids = ivf_parity_fit(nv_sample, k=n_clusters, iters=iters)
     qdf = _query_vectors(sf_dir, n_queries)
-    qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
-    probed = set(int(c) for row in ivf.probe(qm, nprobe) for c in row)
-    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": qm})
-    ivf_ref = ray.put(ivf.centroids)
-
-    def assign_and_filter(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df
-        import ray as _ray
-
-        cents = _ray.get(ivf_ref)
-        mm = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
-        cluster = (mm @ cents.T).argmax(axis=1)
-        return df[np.isin(cluster, list(probed))]
+    nq = quantized_unit(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    probe_lists = ivf_parity_probe(nq, centroids, nprobe)
+    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": nq})
+    cent_ref = ray.put(centroids)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    filtered = ds.map_batches(assign_and_filter, batch_format="pandas")
-    partials = filtered.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+    partials = ds.map_batches(
+        IvfParityScorer,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref, "centroids_ref": cent_ref,
+            "probe_lists": probe_lists, "k": k,
+        },
         batch_format="pandas",
         concurrency=2,
     )
     return topk_reduce(partials.to_pandas(), k)
+
+
+def _ivf_sql(k: int = 8, iters: int = 2, nprobe: int = 3, n_queries: int = 5,
+             topk: int = 10, sample: int = 4096) -> str:
+    """SQL mirroring ann_ivf_topk exactly: same quantized-unit vectors, same
+    first-K init, same Lloyd iterations (unrolled as CTEs), same probe and
+    scoring order. Every rounded intermediate matches the Python side
+    bit-for-bit (round half-away = DuckDB round)."""
+    qnorm = "list_transform({src}, x -> round(x / sqrt(list_sum(list_transform({src}, y -> y*y))), 6))"
+    sql = f"""
+WITH ecast AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), nvec AS (
+  SELECT vec_id, {qnorm.format(src='e')} AS nv FROM ecast
+), samp AS (
+  SELECT vec_id, nv FROM nvec ORDER BY vec_id LIMIT {sample}
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, nv AS c
+  FROM (SELECT vec_id, nv FROM samp ORDER BY vec_id LIMIT {k})
+)"""
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sql += f""", a{t} AS (
+  SELECT s.vec_id, s.nv, c.cid
+  FROM samp s CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY s.vec_id
+          ORDER BY round(list_dot_product(s.nv, c.c), 6) DESC, c.cid) = 1
+), m{t} AS (
+  SELECT cid, list(mx ORDER BY i) AS m FROM (
+    SELECT cid, i, avg(x) AS mx FROM (
+      SELECT cid, unnest(nv) AS x, generate_subscripts(nv, 1) AS i FROM a{t})
+    GROUP BY cid, i)
+  GROUP BY cid
+), c{t} AS (
+  SELECT p.cid, COALESCE({qnorm.format(src='m.m')}, p.c) AS c
+  FROM {prev} p LEFT JOIN m{t} m ON p.cid = m.cid
+)"""
+        prev = f"c{t}"
+    sql += f""", afull AS (
+  SELECT n.vec_id, n.nv, c.cid
+  FROM nvec n CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+          ORDER BY round(list_dot_product(n.nv, c.c), 6) DESC, c.cid) = 1
+), q AS (
+  SELECT vec_id AS query_id, nv AS qv FROM nvec ORDER BY vec_id LIMIT {n_queries}
+), probe AS (
+  SELECT q.query_id, q.qv, c.cid FROM q CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY q.query_id
+          ORDER BY round(list_dot_product(q.qv, c.c), 6) DESC, c.cid) <= {nprobe}
+), scored AS (
+  SELECT p.query_id, a.vec_id, round(list_dot_product(p.qv, a.nv), 6) AS score
+  FROM probe p JOIN afull a ON a.cid = p.cid
+)
+SELECT query_id, vec_id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= {topk}
+"""
+    return sql
+
+
+ANN_IVF_SQL = _ivf_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2214,6 +2295,7 @@ ORACLE_SQL = {
     "minhash_bands": MINHASH_BANDS_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_near_dup_lsh": EMB_NEAR_DUP_LSH_SQL,
     "distinct_sources": DISTINCT_SOURCES_SQL,
     "customers_with_highvalue_orders": SEMI_JOIN_SQL,
