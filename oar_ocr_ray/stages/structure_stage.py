@@ -24,8 +24,10 @@ import numpy as np
 import pyarrow as pa
 
 from ..png_codec import decode_png
+from ..geometry import get_rotate_crop_image
 from ..structure import (
     CONTAINER_LABELS,
+    detect_seal_text,
     fallback_ocr_blocks,
     page_to_html,
     page_to_markdown,
@@ -84,6 +86,28 @@ class StructureExtract:
         if len(containers) and len(line_boxes):
             line_boxes = split_boxes_by_containers(line_boxes, containers)
 
+        # seal-text path (structure.rs:1794): Seal blocks get their own
+        # detection pass with the seal preset; their general-path
+        # detections are dropped and replaced by the per-block seal quads
+        # (y_min-sorted via sort_poly_boxes), recognized through the
+        # quad-warp crop below
+        seal_blocks = (
+            lb[[i for i, l in enumerate(labels) if l == "seal"]]
+            if len(lb) else np.zeros((0, 4))
+        )
+        seal_quads = np.zeros((0, 4, 2))
+        if len(seal_blocks):
+            seal_quads = detect_seal_text(
+                img, seal_blocks, lambda c, ma: detect_boxes(c, min_area=ma)
+            )
+            if len(line_boxes):
+                cx = (line_boxes[:, 0] + line_boxes[:, 2]) / 2
+                cy = (line_boxes[:, 1] + line_boxes[:, 3]) / 2
+                inside = np.zeros(len(line_boxes), dtype=bool)
+                for sb in seal_blocks:
+                    inside |= (cx >= sb[0]) & (cx < sb[2]) & (cy >= sb[1]) & (cy < sb[3])
+                line_boxes = line_boxes[~inside]
+
         from ..stubs import read_line_text
 
         texts, boxes = [], []
@@ -97,6 +121,17 @@ class StructureExtract:
                 texts.append(t)
                 boxes.append(b)
         boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+
+        # seal quads recognized through the perspective quad crop (the
+        # curved-text path; appended BEFORE fallback OCR so a recognized
+        # seal counts as matched, structure.rs:1794 ordering)
+        for q in seal_quads:
+            t = read_line_text(get_rotate_crop_image(img, q))
+            if t:
+                boxes = np.concatenate([boxes, np.array(
+                    [[q[:, 0].min(), q[:, 1].min(), q[:, 0].max(), q[:, 1].max()]]
+                )])
+                texts.append(t)
 
         # layout-bbox fallback OCR (structure.rs:1337-1395): non-image
         # blocks with no matched text get a whole-block recognition attempt

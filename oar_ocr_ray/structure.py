@@ -313,6 +313,51 @@ TEXT_BOX_SPLIT_IOA_THRESHOLD = 0.3   # structure.rs:38
 CELL_OVERLAP_IOU_THRESHOLD = 0.5     # structure.rs:30
 
 # container label set for cross-layout splitting (structure.rs:2025-2052)
+def detect_seal_text(
+    img: np.ndarray,
+    seal_blocks: np.ndarray,
+    detect_fn,
+    min_area: int = 6,
+) -> np.ndarray:
+    """Seal-text detection path (reference structure.rs:1794
+    detect_seal_text): per Seal layout block, clamp-crop the block region,
+    run detection INSIDE the crop with the seal preset (the reference's
+    seal det uses lower thresholds than general text — limit 736/min,
+    thresh .2/.6, unclip 0.5, ocr.rs:264-301; here the lower threshold maps
+    to a smaller min_area), translate detected boxes back to page
+    coordinates, and order them with sort_poly_boxes (y_min-only raster,
+    sorting.rs:100-118 — seal text is curved so the quad-box column logic
+    does not apply).
+
+    detect_fn: (crop, min_area) -> (N,4) AABBs in crop coords (the
+    detection core; a DB polygon head in production, the deterministic
+    stand-in in tests). Returns (M,4,2) float64 quads in page coords,
+    y_min-sorted per block, blocks in input order.
+    """
+    from .geometry import clamp_box
+    from .sorting import sort_poly_boxes_indices
+
+    h, w = img.shape[:2]
+    quads = []
+    for sb in np.atleast_2d(np.asarray(seal_blocks, dtype=np.float64)).reshape(-1, 4):
+        x0, y0, x1, y1 = clamp_box(sb, w, h).astype(np.int64)
+        if x1 - x0 < 2 or y1 - y0 < 2:
+            continue
+        boxes = np.asarray(detect_fn(img[y0:y1, x0:x1], min_area), dtype=np.float64)
+        if len(boxes) == 0:
+            continue
+        boxes[:, [0, 2]] += x0
+        boxes[:, [1, 3]] += y0
+        q = np.stack(
+            [boxes[:, [0, 1]], boxes[:, [2, 1]], boxes[:, [2, 3]], boxes[:, [0, 3]]],
+            axis=1,
+        )
+        quads.append(q[sort_poly_boxes_indices(boxes)])
+    if not quads:
+        return np.zeros((0, 4, 2), dtype=np.float64)
+    return np.concatenate(quads, axis=0)
+
+
 CONTAINER_LABELS = frozenset({
     "doc_title", "paragraph_title", "text", "content", "abstract", "header",
     "footer", "footnote", "number", "reference", "reference_content",

@@ -294,3 +294,55 @@ def test_fallback_ocr_blocks_no_ocr_at_all():
     lb = np.array([[0, 0, 100, 30]], dtype=float)
     out = fallback_ocr_blocks(lb, ["text"], np.zeros((0, 4)))
     assert out.tolist() == [0]
+
+
+# ---------------------------------------------------------------------------
+# detect_seal_text (structure.rs:1794 seal path)
+# ---------------------------------------------------------------------------
+
+def test_detect_seal_text_translates_and_sorts():
+    from oar_ocr_ray.structure import detect_seal_text
+
+    img = np.full((100, 100), 255, dtype=np.uint8)
+    # two dark line patches inside the seal region, lower one first in x
+    img[40:48, 12:30] = 90   # y_min 40
+    img[20:28, 22:44] = 90   # y_min 20
+    seal = np.array([[10.0, 10.0, 60.0, 60.0]])
+
+    def det(crop, min_area):
+        from oar_ocr_ray.geometry import connected_component_boxes
+        return connected_component_boxes(crop < 128, min_area=min_area)
+
+    quads = detect_seal_text(img, seal, det)
+    assert quads.shape == (2, 4, 2)
+    # y_min-sorted (sort_poly_boxes), translated back to page coords
+    assert quads[0, 0, 1] == 20 and quads[1, 0, 1] == 40
+    assert quads[0, 0, 0] == 22 and quads[1, 0, 0] == 12
+
+
+def test_detect_seal_text_clamps_out_of_bounds_block():
+    from oar_ocr_ray.structure import detect_seal_text
+
+    img = np.full((50, 50), 255, dtype=np.uint8)
+    img[5:12, 5:20] = 90
+
+    def det(crop, min_area):
+        from oar_ocr_ray.geometry import connected_component_boxes
+        return connected_component_boxes(crop < 128, min_area=min_area)
+
+    # block extends past every edge; clamp must keep the crop valid
+    quads = detect_seal_text(img, np.array([[-10.0, -10.0, 80.0, 80.0]]), det)
+    assert quads.shape == (1, 4, 2)
+    assert quads[0, 0, 0] == 5 and quads[0, 0, 1] == 5
+
+
+def test_detect_seal_text_empty_inputs():
+    from oar_ocr_ray.structure import detect_seal_text
+
+    img = np.full((30, 30), 255, dtype=np.uint8)
+
+    def det(crop, min_area):
+        return np.zeros((0, 4))
+
+    assert detect_seal_text(img, np.zeros((0, 4)), det).shape == (0, 4, 2)
+    assert detect_seal_text(img, np.array([[5.0, 5.0, 25.0, 25.0]]), det).shape == (0, 4, 2)
