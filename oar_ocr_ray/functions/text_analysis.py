@@ -138,3 +138,38 @@ def fingerprint(df: pd.DataFrame, col: str = "text", window: int = 8) -> pd.Data
     out["fp_full"] = full
     out["fp_min_shingle"] = mins
     return out
+
+
+def repetition_score(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021, App. A1.1 repeated
+    n-gram filters — public): duplicate-word ratio (1 - distinct/total) and
+    the fraction of bigram occurrences taken by the single most frequent
+    bigram. Fully vectorized: one explode over space-split tokens, C-level
+    groupbys — no per-row Python. Rounded half-away(6) for oracle parity.
+    """
+    t = df[col].fillna("").str.split(" ")
+    counts = t.str.len().to_numpy(dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(df)), counts)
+    words = np.concatenate(t.to_numpy()) if len(df) else np.array([], dtype=object)
+    ex = pd.DataFrame({"d": doc_idx, "w": words})
+    n_distinct = ex.groupby("d")["w"].nunique().reindex(
+        np.arange(len(df)), fill_value=0).to_numpy(dtype=np.int64)
+
+    same = doc_idx[1:] == doc_idx[:-1] if len(doc_idx) else np.zeros(0, dtype=bool)
+    bg = pd.DataFrame({
+        "d": doc_idx[:-1][same],
+        "b": pd.Series(words[:-1][same]) + " " + pd.Series(words[1:][same]),
+    })
+    per = bg.groupby(["d", "b"]).size().groupby(level=0).agg(["max", "sum"])
+    top_c = per["max"].reindex(np.arange(len(df)), fill_value=0).to_numpy(dtype=np.float64)
+    n_bg = per["sum"].reindex(np.arange(len(df)), fill_value=0).to_numpy(dtype=np.float64)
+
+    out = df.copy()
+    nw = counts.astype(np.float64)
+    out["n_words"] = counts
+    out["n_distinct"] = n_distinct
+    out["dup_word_ratio"] = round_half_away(
+        np.where(counts > 0, 1.0 - n_distinct / np.where(counts > 0, nw, 1.0), 0.0), 6)
+    out["top_bigram_ratio"] = round_half_away(
+        np.where(n_bg > 0, top_c / np.where(n_bg > 0, n_bg, 1.0), 0.0), 6)
+    return out

@@ -784,6 +784,39 @@ FROM documents
 """
 
 
+def repetition_scores(sf_dir: str):
+    """Gopher-style repetition quality metrics per document (duplicate-word
+    ratio + top-bigram occupancy), vectorized per batch — no shuffle."""
+    from .functions.text_analysis import repetition_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cols = ["doc_id", "n_words", "n_distinct", "dup_word_ratio", "top_bigram_ratio"]
+    return ds.map_batches(lambda df: repetition_score(df)[cols], batch_format="pandas")
+
+
+REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), stats AS (
+  SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+  FROM w GROUP BY doc_id
+), bgcount AS (
+  SELECT a.doc_id, a.word || ' ' || b.word AS bigram, count(*) AS c
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id, bigram
+), bgtop AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams FROM bgcount GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_words, s.n_distinct,
+       round(CASE WHEN s.n_words > 0 THEN 1.0 - s.n_distinct / s.n_words ELSE 0.0 END, 6)
+         AS dup_word_ratio,
+       round(COALESCE(t.top_c * 1.0 / t.n_bigrams, 0.0), 6) AS top_bigram_ratio
+FROM stats s LEFT JOIN bgtop t ON s.doc_id = t.doc_id
+"""
+
+
 def word_topk(sf_dir: str):
     """Global token frequency top-20: per-batch value_counts partials ->
     groupby(word) sum -> driver-side top-k (tiny)."""
@@ -2227,6 +2260,7 @@ QUERIES = {
     "token_percentiles_by_source": token_percentiles_by_source,
     "token_counts": token_counts,
     "quality_scores": quality_scores,
+    "repetition_scores": repetition_scores,
     "word_topk": word_topk,
     "dedup_exact": dedup_exact,
     "train_test_split": train_test_split,
@@ -2276,6 +2310,7 @@ ORACLE_SQL = {
     "token_percentiles_by_source": TOKEN_PCTL_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "quality_scores": QUALITY_SQL,
+    "repetition_scores": REPETITION_SQL,
     "word_topk": WORD_TOPK_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "train_test_split": TRAIN_SPLIT_SQL,
