@@ -2178,7 +2178,7 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nprobe: int = 3,
 
 
 def _ivf_sql(k: int = 8, iters: int = 2, nprobe: int = 3, n_queries: int = 5,
-             topk: int = 10, sample: int = 4096) -> str:
+             topk: int = 10, sample: int = 4096, final_select: str | None = None) -> str:
     """SQL mirroring ann_ivf_topk exactly: same quantized-unit vectors, same
     first-K init, same Lloyd iterations (unrolled as CTEs), same probe and
     scoring order. Every rounded intermediate matches the Python side
@@ -2218,7 +2218,10 @@ WITH ecast AS (
   FROM nvec n CROSS JOIN {prev} c
   QUALIFY row_number() OVER (PARTITION BY n.vec_id
           ORDER BY round(list_dot_product(n.nv, c.c), 6) DESC, c.cid) = 1
-), q AS (
+)"""
+    if final_select is not None:
+        return sql + final_select
+    sql += f""", q AS (
   SELECT vec_id AS query_id, nv AS qv FROM nvec ORDER BY vec_id LIMIT {n_queries}
 ), probe AS (
   SELECT q.query_id, q.qv, c.cid FROM q CROSS JOIN {prev} c
@@ -2235,6 +2238,42 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <=
 
 
 ANN_IVF_SQL = _ivf_sql()
+
+
+def embedding_clusters(sf_dir: str, n_clusters: int = 8, iters: int = 2):
+    """Corpus clustering for data curation (the SemDeDup-style semantic
+    bucketing step, Abbas et al. 2023 — public): every vector assigned to
+    its cluster under the deterministic quantized-Lloyd fit. Same bounded
+    driver-side fit + broadcast + vectorized per-batch assign as
+    ann_ivf_topk; EXACT DuckDB oracle sharing the IVF CTE prefix."""
+    import ray
+
+    from .functions.ann import embedding_matrix, ivf_parity_fit, quantized_unit
+    from .numeric import round_half_away as _rha
+
+    nv_sample = _sample_nv_by_vecid(sf_dir, max_rows=4096)
+    centroids = ivf_parity_fit(nv_sample, k=n_clusters, iters=iters)
+    cent_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64")})
+        import ray as _ray
+
+        cents = _ray.get(cent_ref)
+        nv = quantized_unit(embedding_matrix(df))
+        cluster = _rha(nv @ cents.T, 6).argmax(axis=1)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "cluster": cluster.astype("int64")})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+EMB_CLUSTERS_SQL = _ivf_sql(
+    final_select="\nSELECT vec_id, cid AS cluster FROM afull\n"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2281,6 +2320,7 @@ QUERIES = {
     "simhash_buckets": simhash_buckets,
     "simhash_dup_pairs": simhash_dup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_clusters": embedding_clusters,
     "structure_extract": structure_extract,
     "distinct_sources": distinct_sources,
     "ocr_word_boxes": ocr_word_boxes,
@@ -2331,6 +2371,7 @@ ORACLE_SQL = {
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "embedding_clusters": EMB_CLUSTERS_SQL,
     "embedding_near_dup_lsh": EMB_NEAR_DUP_LSH_SQL,
     "distinct_sources": DISTINCT_SOURCES_SQL,
     "customers_with_highvalue_orders": SEMI_JOIN_SQL,

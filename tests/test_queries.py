@@ -85,7 +85,7 @@ def oracle_pairs():
     "lang_id", "minhash_dup_pairs", "minhash_dup_clusters", "embedding_near_dup",
     "ngram_jaccard_dup_pairs",
     "fingerprints", "simhash_buckets", "simhash_dup_pairs", "minhash_bands",
-    "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
+    "ann_lsh_topk", "ann_ivf_topk", "embedding_clusters", "embedding_near_dup_lsh",
 ])
 def test_query_matches_oracle(ray_session, duck, name):
     from oar_ocr_ray.queries import ORACLE_SQL, QUERIES
