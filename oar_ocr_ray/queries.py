@@ -784,6 +784,82 @@ FROM documents
 """
 
 
+def pack_sequences(sf_dir: str, budget: int = 2048, n_buckets: int = 32):
+    """Sequence packing for pretraining: documents are concatenated in
+    doc_id order and chunked into fixed token-budget context windows;
+    pack_id = the window index holding the doc's first token (the public
+    GPT-style pack-and-chunk layout).
+
+    The global cumulative token offset is a DISTRIBUTED PREFIX SUM:
+      pass 1: per-batch vectorized token counts -> per-RANGE-bucket sums
+              (n_buckets partial rows, driver reduce) -> exclusive prefix
+              over n_buckets integers, captured by the pass-2 closure;
+      pass 2: one keyed shuffle on the coarse range bucket, vectorized
+              in-bucket cumsum + bucket offset (no per-doc Python).
+    Driver state is n_buckets numbers; both passes stream. The range
+    bucketing (monotone in doc_id) is what makes the per-bucket cumsum
+    composable with the bucket offsets."""
+    from ray.data.aggregate import Max, Min
+
+    from .functions.text_analysis import token_count
+
+    ids = _read(sf_dir, "documents", ["doc_id"])
+    mm = ids.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(mm["min(doc_id)"]), int(mm["max(doc_id)"])
+    span = max((hi - lo + n_buckets) // n_buckets, 1)
+
+    def tokens_and_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = token_count(df)[["doc_id", "n_tokens"]]
+        df["bucket"] = ((df["doc_id"] - lo) // span).astype(np.int32)
+        return df
+
+    tok = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tokens_and_bucket, batch_format="pandas"
+    )
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False, sort=False)["n_tokens"].sum()
+
+    sums = _reduce_small(tok.map_batches(bucket_partial, batch_format="pandas"),
+                         ["bucket"], ["n_tokens"])
+    sums = sums.sort_values("bucket")
+    offsets = dict(zip(
+        sums["bucket"].to_numpy(),
+        np.concatenate([[0], sums["n_tokens"].to_numpy()[:-1].cumsum()]),
+    ))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        start = (g["n_tokens"].cumsum() - g["n_tokens"]
+                 + int(offsets.get(int(g["bucket"].iloc[0]), 0)))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": g["n_tokens"].astype("int64").to_numpy(),
+            "start_offset": start.astype("int64").to_numpy(),
+            "pack_id": (start // budget).astype("int64").to_numpy(),
+        })
+
+    return tok.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_offset,
+       CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT)
+         AS pack_id
+FROM t
+"""
+
+
 def repetition_scores(sf_dir: str):
     """Gopher-style repetition quality metrics per document (duplicate-word
     ratio + top-bigram occupancy), vectorized per batch — no shuffle."""
@@ -2300,6 +2376,7 @@ QUERIES = {
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "repetition_scores": repetition_scores,
+    "pack_sequences": pack_sequences,
     "word_topk": word_topk,
     "dedup_exact": dedup_exact,
     "train_test_split": train_test_split,
@@ -2351,6 +2428,7 @@ ORACLE_SQL = {
     "token_counts": TOKEN_COUNTS_SQL,
     "quality_scores": QUALITY_SQL,
     "repetition_scores": REPETITION_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
     "word_topk": WORD_TOPK_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "train_test_split": TRAIN_SPLIT_SQL,

@@ -77,7 +77,7 @@ def oracle_pairs():
     "orders_per_customer_topk", "filter_highvalue_orders", "events_tumbling",
     "events_sessionize", "events_sliding", "events_asof_join",
     "parts_price_band_join", "token_percentiles_by_source",
-    "token_counts", "quality_scores", "repetition_scores", "word_topk",
+    "token_counts", "quality_scores", "repetition_scores", "pack_sequences", "word_topk",
     "dedup_exact", "train_test_split", "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
     "embedding_label_norms", "distinct_sources",
     "customers_with_highvalue_orders", "customers_without_highvalue_orders",
