@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "minhash_bands",
     "ann_topk",
     "lang_id",
+    "repetition_scores",
+    "pack_sequences",
     "structure_extract",
 ]
 

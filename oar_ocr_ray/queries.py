@@ -1976,23 +1976,37 @@ def crop_aspect_buckets(sf_dir: str):
 
 def minhash_dup_clusters(sf_dir: str, threshold: float = 0.8):
     """Near-dup clusters — verified MinHash pairs -> union-find cluster
-    representatives (doc_id, cluster_rep, cluster_size). The union-find
-    runs driver-side over the VERIFIED PAIR set (duplicate-bounded, tiny);
-    at corpus scale this becomes a few rounds of min-label propagation via
-    groupby. Oracle: recursive-CTE connected components in DuckDB."""
+    representatives (doc_id, cluster_rep, cluster_size).
+
+    The union-find runs driver-side over ONLY the verified pair set
+    (duplicate-bounded, tiny); the resulting rep/size maps are broadcast
+    and every document row is labeled in map_batches (singletons never
+    touch the driver — no corpus-sized driver read). Oracle:
+    recursive-CTE connected components in DuckDB."""
+    import ray
+
     from .functions.dedup import cluster_pairs
 
     pairs_df = minhash_dup_pairs(sf_dir, threshold)
-    docs = pd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
-    mapping = cluster_pairs(
-        list(zip(pairs_df["doc_a"], pairs_df["doc_b"])), all_ids=docs["doc_id"]
+    mapping = cluster_pairs(list(zip(pairs_df["doc_a"], pairs_df["doc_b"])))
+    sizes: dict = {}
+    for rep in mapping.values():
+        sizes[rep] = sizes.get(rep, 0) + 1
+    maps_ref = ray.put({"rep": mapping, "size": sizes})
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(maps_ref)
+        ids = pd.Series(df["doc_id"].to_numpy())
+        rep = ids.map(m["rep"]).fillna(ids).astype("int64")
+        size = rep.map(m["size"]).fillna(1).astype("int64")
+        return pd.DataFrame({"doc_id": ids.to_numpy(), "cluster_rep": rep.to_numpy(),
+                             "cluster_size": size.to_numpy()})
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return (
+        ds.map_batches(label, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
-    out = pd.DataFrame(
-        {"doc_id": list(mapping.keys()), "cluster_rep": list(mapping.values())}
-    ).sort_values("doc_id")
-    sizes = out.groupby("cluster_rep")["doc_id"].transform("count")
-    out["cluster_size"] = sizes.astype("int64")
-    return out.reset_index(drop=True)
 
 
 MINHASH_CLUSTERS_SQL = r"""
