@@ -30,6 +30,7 @@ store key; payloads never enter an all-to-all exchange).
 from __future__ import annotations
 
 import os
+import zlib
 from collections import OrderedDict
 
 import numpy as np
@@ -361,7 +362,14 @@ class MediaDetect:
                     # counted per actor.
                     self.missing_media += 1
                     continue
-                img = decode_png(payload)[:, :, 0]  # grayscale channel
+                try:
+                    img = decode_png(payload)[:, :, 0]  # grayscale channel
+                except (ValueError, zlib.error, IndexError):
+                    # A corrupt blob (truncated upload, bit rot) is as
+                    # inevitable as a lost one at 10^12 docs — skip like
+                    # missing media, never abort the run.
+                    self.missing_media += 1
+                    continue
                 cls = classify_orientation(img)
                 img = correct_orientation(img, cls)
                 metas.append((doc_id, offset, ref, part, cls))

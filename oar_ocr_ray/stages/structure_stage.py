@@ -64,7 +64,12 @@ class StructureExtract:
         if payload is None:
             self.missing_media += 1
             return None
-        img = decode_png(payload)[:, :, 0]
+        try:
+            img = decode_png(payload)[:, :, 0]
+        except Exception:
+            # corrupt blob: skip like missing media, never abort the run
+            self.missing_media += 1
+            return None
         cls = classify_orientation(img)
         img = correct_orientation(img, cls)
         h, w = img.shape

@@ -222,3 +222,48 @@ def test_actors_stage_mode_matches_golden(ray_session, corpus):
 
     tbl = pa.concat_tables([ray.get(r) for r in table])
     assert_matches_golden(tbl, corpus["golden_path"], N_DOCS)
+
+
+def test_corrupt_media_payload_skipped_not_fatal(ray_session, corpus, tmp_path):
+    """A corrupt PNG blob (truncated upload / bit rot — inevitable at scale)
+    must degrade to an empty-media span set for the affected docs, exactly
+    like a lost blob, never abort the run."""
+    import shutil
+
+    import pyarrow as pa
+    import ray
+
+    media_dir = str(tmp_path / "media_corrupt")
+    shutil.copytree(corpus["media_dir"], media_dir)
+    # corrupt every payload in the first non-empty bucket
+    corrupted_refs = set()
+    for f in sorted(os.listdir(media_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(media_dir, f)
+        t = pq.read_table(p)
+        if len(t) == 0:
+            continue
+        refs = t["media_ref"].to_pylist()
+        bad = pa.array([b"\x89PNG-corrupt-" + bytes(8) for _ in refs], pa.binary())
+        cols = {name: t[name] for name in t.column_names}
+        cols["png"] = bad
+        pq.write_table(pa.table(cols, schema=t.schema), p)
+        corrupted_refs.update(refs)
+        break
+    assert corrupted_refs
+
+    ds = build_extract_pipeline(
+        corpus["doc_files"], media_dir, n_parts=16,
+        det_concurrency=1, rec_concurrency=1,
+    )
+    table = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    got = spans_by_doc(table)
+    # every doc still present; media spans whose ref was corrupted are gone,
+    # text spans intact
+    assert len(got) == N_DOCS
+    golden = spans_by_doc(pq.read_table(corpus["golden_path"]))
+    for d, spans in golden.items():
+        expect = [s for s in spans if s[2] not in corrupted_refs]
+        kept = [(k, t, r) for (k, t, r, _o) in got[d]]
+        assert kept == [(k, t, r) for (k, t, r, _o) in expect], f"doc {d}"
