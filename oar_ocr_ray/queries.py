@@ -784,6 +784,30 @@ FROM documents
 """
 
 
+def _docid_range(sf_dir: str) -> tuple[int, int]:
+    """(min, max) doc_id from parquet ROW-GROUP STATISTICS — zero data
+    read. Falls back to a streaming aggregate over the narrow id column if
+    any row group lacks stats."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(_p(sf_dir, "documents"))
+    idx = f.schema_arrow.get_field_index("doc_id")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = None
+            break
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is not None:
+        return int(lo), int(hi)
+    from ray.data.aggregate import Max, Min
+
+    mm = _read(sf_dir, "documents", ["doc_id"]).aggregate(Min("doc_id"), Max("doc_id"))
+    return int(mm["min(doc_id)"]), int(mm["max(doc_id)"])
+
+
 def pack_sequences(sf_dir: str, budget: int = 2048, n_buckets: int = 32):
     """Sequence packing for pretraining: documents are concatenated in
     doc_id order and chunked into fixed token-budget context windows;
@@ -799,13 +823,9 @@ def pack_sequences(sf_dir: str, budget: int = 2048, n_buckets: int = 32):
     Driver state is n_buckets numbers; both passes stream. The range
     bucketing (monotone in doc_id) is what makes the per-bucket cumsum
     composable with the bucket offsets."""
-    from ray.data.aggregate import Max, Min
-
     from .functions.text_analysis import token_count
 
-    ids = _read(sf_dir, "documents", ["doc_id"])
-    mm = ids.aggregate(Min("doc_id"), Max("doc_id"))
-    lo, hi = int(mm["min(doc_id)"]), int(mm["max(doc_id)"])
+    lo, hi = _docid_range(sf_dir)
     span = max((hi - lo + n_buckets) // n_buckets, 1)
 
     def tokens_and_bucket(df: pd.DataFrame) -> pd.DataFrame:
