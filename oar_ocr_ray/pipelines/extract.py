@@ -43,6 +43,7 @@ def build_extract_pipeline(
     det_batch_size: int = 64,
     rec_batch_size: int = 512,
     stage_mode: str = "tasks",
+    det_max_side: int = 4000,
 ) -> "ray.data.Dataset":
     """Build the lazy Dataset DAG (nothing executes until consumed).
 
@@ -63,7 +64,8 @@ def build_extract_pipeline(
     if stage_mode == "actors":
         ds = ds.map_batches(
             MediaDetect,
-            fn_constructor_kwargs={"media_dir": media_dir},
+            fn_constructor_kwargs={"media_dir": media_dir,
+                                   "det_max_side": det_max_side},
             batch_format="pyarrow",
             batch_size=det_batch_size,
             concurrency=det_concurrency,
@@ -78,9 +80,11 @@ def build_extract_pipeline(
         )
     else:
         if media_refs is not None:
-            det_stage = cached_stage(MediaDetect, media_refs=media_refs, cache_token=media_dir)
+            det_stage = cached_stage(MediaDetect, media_refs=media_refs,
+                                     cache_token=media_dir, det_max_side=det_max_side)
         else:  # corpus too big to pin in the object store: lazy LRU lookups
-            det_stage = cached_stage(MediaDetect, media_dir=media_dir)
+            det_stage = cached_stage(MediaDetect, media_dir=media_dir,
+                                     det_max_side=det_max_side)
         ds = ds.map_batches(
             det_stage,
             batch_format="pyarrow",
