@@ -2387,6 +2387,288 @@ EMB_CLUSTERS_SQL = _ivf_sql(
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation: scrubbing, TF-IDF, decontamination, source mixing
+# ---------------------------------------------------------------------------
+
+# The PII/entity scrub battery. In production this is the email/phone/SSN
+# regex set; the synthetic corpus contains no PII, so the driver instance
+# scrubs entity tokens that DO occur (falsifiable — nonzero replacements),
+# exercising the identical regexp_replace path.
+SCRUB_PATTERN = r"\b(customer|order|query)\b"
+SCRUB_TOKEN = "[ENT]"
+
+
+def regex_scrub(sf_dir: str):
+    """PII/entity scrubbing: a pure vectorized map — compiled-regex
+    count + replace per batch, no shuffle, no state. At 100 TB this is a
+    stream with a write_parquet sink; the pattern battery is a constant
+    captured by the closure (bytes, not re-shipped per batch)."""
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_scrubbed": df["text"].str.count(SCRUB_PATTERN).astype("int64"),
+            "clean_text": df["text"].str.replace(SCRUB_PATTERN, SCRUB_TOKEN, regex=True),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(run, batch_format="pandas")
+
+
+REGEX_SCRUB_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{SCRUB_PATTERN}')) AS BIGINT) AS n_scrubbed,
+       regexp_replace(text, '{SCRUB_PATTERN}', '{SCRUB_TOKEN}', 'g') AS clean_text
+FROM documents
+"""
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
+    """Per-document top-k TF-IDF terms — the classic keyword-extraction /
+    quality-signal step. Two streaming passes:
+
+      pass 1 (document frequency): per-batch DISTINCT (doc, term) ->
+        per-term partial counts -> small groupby(term) -> driver-collected
+        vocabulary table (bounded: vocab is pruned at min_df; at web scale
+        the head vocabulary after min_df pruning is broadcastable while the
+        long tail scores 0 anyway) -> ray.put broadcast of {{term: idf}}.
+      pass 2: per-batch per-doc term counts -> vectorized idf lookup ->
+        top-k per doc inside the batch (each doc is one row, so its top-k
+        never crosses a batch boundary) -> no shuffle at all.
+
+    Exact oracle parity: idf = round6(ln(N/df)) (libm double on both
+    sides under the 1e-6 grid), score = round6(tf * idf), ties broken by
+    term ASC on both sides."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tokens(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.lower().str.strip().str.split()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "term": tokens(df["text"])})
+        t = t.explode("term").dropna()
+        t = t[t["term"] != ""].drop_duplicates()
+        vc = t["term"].value_counts()
+        return pd.DataFrame({"term": vc.index, "df": vc.to_numpy()})
+
+    dfreq = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # vocabulary-sized (post-prune head vocab)
+    )
+    dfreq = dfreq[dfreq["df"] >= min_df]
+    idf = round_half_away(np.log(n_docs / dfreq["df"].to_numpy(dtype=np.float64)), 6)
+    idf_ref = ray.put(dict(zip(dfreq["term"], idf)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        idf_map = _ray.get(idf_ref)
+        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "term": tokens(df["text"])})
+        t = t.explode("term").dropna()
+        t = t[t["term"] != ""]
+        if len(t) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "term": pd.Series(dtype="object"),
+                                 "score": pd.Series(dtype="float64")})
+        tf = t.groupby(["doc_id", "term"], sort=False).size().rename("tf").reset_index()
+        tf["score"] = round_half_away(
+            tf["tf"].to_numpy(dtype=np.float64)
+            * tf["term"].map(idf_map).fillna(0.0).to_numpy(dtype=np.float64), 6)
+        tf = tf.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="stable")
+        top = tf.groupby("doc_id", sort=False).head(k)
+        return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(),
+                             "term": top["term"].to_numpy(),
+                             "score": top["score"].to_numpy()})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+TFIDF_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM words WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM words WHERE term <> '' GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term,
+       round(tf.tf * round(ln(n.n_docs * 1.0 / dfreq.df), 6), 6) AS score
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+QUALIFY row_number() OVER (
+  PARTITION BY tf.doc_id ORDER BY score DESC, tf.term) <= 3
+"""
+
+
+# Decontamination: the eval/benchmark holdout is every doc_id divisible by
+# 97 (deterministic stand-in for "the benchmark suite"); a training doc is
+# contaminated if it shares any word 3-gram with the holdout. 3 (not the
+# production 8-13) because the synthetic corpus has a 31-word vocabulary —
+# at n=3 the overlap is nonzero but far from total (falsifiable both ways).
+DECONTAM_MOD = 97
+DECONTAM_N = 3
+
+
+def decontaminate(sf_dir: str):
+    """Benchmark-decontamination filter (the n-gram overlap check every
+    public pretraining pipeline runs against eval sets):
+
+      pass 1: stream ONLY the holdout docs (pruned read of doc_id+text,
+        filtered per batch) -> per-batch distinct n-gram sets -> driver
+        union (bounded: the eval suite is tiny by definition) -> ray.put.
+      pass 2: stream the training split; per batch, build each doc's
+        n-gram set vectorized and count distinct hits against the
+        broadcast set. No shuffle; output is one row per training doc.
+    """
+    import ray
+
+    def grams_of(text_s: pd.Series) -> pd.Series:
+        toks = text_s.fillna("").str.lower().str.strip().str.split()
+        n = DECONTAM_N
+        return toks.map(
+            lambda w: {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+            if isinstance(w, list) else set()
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def holdout_grams(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df["doc_id"] % DECONTAM_MOD == 0]
+        s: set = set()
+        for g in grams_of(ev["text"]):
+            s |= g
+        return pd.DataFrame({"gram": sorted(s)})
+
+    ev_grams = set(
+        ds.map_batches(holdout_grams, batch_format="pandas")
+        .to_pandas()["gram"]  # eval-suite-sized (bounded)
+    )
+    ev_ref = ray.put(ev_grams)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        ev = _ray.get(ev_ref)
+        train = df[df["doc_id"] % DECONTAM_MOD != 0]
+        hits = grams_of(train["text"]).map(lambda g: len(g & ev))
+        return pd.DataFrame({
+            "doc_id": train["doc_id"].to_numpy(),
+            "n_hits": hits.to_numpy(dtype=np.int64),
+            "contaminated": (hits > 0).to_numpy(),
+        })
+
+    return ds.map_batches(check, batch_format="pandas")
+
+
+DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word,
+         generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT doc_id,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 2) OVER w IS NOT NULL
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+  FROM grams g JOIN ev USING (gram)
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+def source_temperature_sample(sf_dir: str):
+    """Temperature-based source mixing (the data-mixture rebalancing step:
+    sample each source at a rate proportional to count^alpha, alpha=0.5,
+    so over-represented sources are downweighted — the public
+    multilingual/pretraining-mixture recipe):
+
+      pass 1: per-source doc counts (combiner partials -> tiny groupby ->
+        driver table of |sources| rows);
+      driver: per-source keep-thresholds in EXACT integer arithmetic —
+        s_i = round(sqrt(count_i)*1e3) (IEEE sqrt is correctly rounded, so
+        numpy and DuckDB agree bit-for-bit), S = sum(s_i) exact int,
+        thr_i = min(1e6, T*s_i*1e6 // (S*count_i)) in arbitrary-precision
+        ints (HUGEINT on the oracle side) — no float accumulation anywhere;
+      pass 2: stream filter — keep doc iff md5(doc_id) % 1e6 < thr[source]
+        (deterministic, reshard-stable, no shuffle).
+    """
+    from ray.data.aggregate import Sum
+
+    from .functions.dedup import md5_lower64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["source"].value_counts()
+        return pd.DataFrame({"source": vc.index, "n": vc.to_numpy()})
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby("source").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |sources| rows
+    )
+    total = int(counts["n"].sum())
+    target = total // 2  # target corpus size (integer half, matching the oracle)
+    s = {str(r["source"]): int(round(float(np.sqrt(r["n"])) * 1000))
+         for _, r in counts.iterrows()}
+    big_s = sum(s.values())
+    thr = {src: min(10**6, (target * s[src] * 10**6)
+                    // (big_s * int(n)))
+           for src, n in zip(counts["source"], counts["n"])}
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter((md5_lower64(str(x)) % 10**6 for x in df["doc_id"]),
+                        dtype=np.int64, count=len(df))
+        t = df["source"].map(thr).to_numpy(dtype=np.int64)
+        keep = df[h < t]
+        return pd.DataFrame({"doc_id": keep["doc_id"].to_numpy(),
+                             "source": keep["source"].to_numpy()})
+
+    return ds.map_batches(sample, batch_format="pandas")
+
+
+SOURCE_TEMP_SAMPLE_SQL = r"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), scaled AS (
+  SELECT source, n, CAST(round(sqrt(n) * 1000) AS BIGINT) AS s FROM counts
+), tot AS (
+  SELECT sum(n) // 2 AS target, sum(s) AS big_s FROM scaled
+), thr AS (
+  SELECT source,
+         least(CAST(1000000 AS HUGEINT),
+               CAST(target AS HUGEINT) * CAST(s AS HUGEINT)
+                 * CAST(1000000 AS HUGEINT)
+                 // (CAST(big_s AS HUGEINT) * CAST(n AS HUGEINT))) AS thr
+  FROM scaled CROSS JOIN tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000 < thr.thr
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2414,6 +2696,10 @@ QUERIES = {
     "word_topk": word_topk,
     "dedup_exact": dedup_exact,
     "train_test_split": train_test_split,
+    "regex_scrub": regex_scrub,
+    "tfidf_top_terms": tfidf_top_terms,
+    "decontaminate": decontaminate,
+    "source_temperature_sample": source_temperature_sample,
     "span_roundtrip": span_roundtrip,
     "boilerplate_strip_docs": boilerplate_strip_docs,
     "ann_topk": ann_topk,
@@ -2466,6 +2752,10 @@ ORACLE_SQL = {
     "word_topk": WORD_TOPK_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "train_test_split": TRAIN_SPLIT_SQL,
+    "regex_scrub": REGEX_SCRUB_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "decontaminate": DECONTAM_SQL,
+    "source_temperature_sample": SOURCE_TEMP_SAMPLE_SQL,
     "span_roundtrip": SPAN_ROUNDTRIP_SQL,
     "boilerplate_strip_docs": BOILERPLATE_SQL,
     "ann_topk": ANN_TOPK_SQL,

@@ -78,7 +78,9 @@ def oracle_pairs():
     "events_sessionize", "events_sliding", "events_asof_join",
     "parts_price_band_join", "token_percentiles_by_source",
     "token_counts", "quality_scores", "repetition_scores", "pack_sequences", "word_topk",
-    "dedup_exact", "train_test_split", "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
+    "dedup_exact", "train_test_split", "regex_scrub", "tfidf_top_terms",
+    "decontaminate", "source_temperature_sample",
+    "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
     "embedding_label_norms", "distinct_sources",
     "customers_with_highvalue_orders", "customers_without_highvalue_orders",
     "parts_by_brand", "supplier_balance_by_region",
