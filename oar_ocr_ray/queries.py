@@ -2668,6 +2668,241 @@ WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000 < thr.thr
 """
 
 
+def semdedup_prune(sf_dir: str, thr: float = 0.45, n_clusters: int = 8,
+                   iters: int = 2):
+    """Full SemDeDup semantic dedup (Abbas et al. 2023, public): cluster the
+    embedding corpus, then within each cluster drop every vector that has a
+    LOWER-id near-duplicate (quantized cosine >= thr). The pairwise rule
+    ("drop-later") is order-free, so it is exactly SQL-expressible and
+    partition-parallel — unlike the greedy chain variant.
+
+    Scale shape: the deterministic quantized-Lloyd fit runs on a BOUNDED
+    vec_id-ordered sample (driver-side, 4096 rows), centroids broadcast via
+    ray.put; assignment is one vectorized map; the all-pairs check is
+    cluster-local after ONE keyed shuffle — at web scale n_clusters grows
+    with the corpus (SemDeDup's own recipe) so each group stays bounded."""
+    import ray
+
+    from .functions.ann import embedding_matrix, ivf_parity_fit, quantized_unit
+
+    nv_sample = _sample_nv_by_vecid(sf_dir, max_rows=4096)
+    centroids = ivf_parity_fit(nv_sample, k=n_clusters, iters=iters)
+    cent_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "embedding": pd.Series(dtype="object"),
+                                 "cluster": pd.Series(dtype="int64")})
+        import ray as _ray
+
+        cents = _ray.get(cent_ref)
+        nv = quantized_unit(embedding_matrix(df))
+        cluster = round_half_away(nv @ cents.T, 6).argmax(axis=1)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "embedding": df["embedding"].to_numpy(),
+                             "cluster": cluster.astype("int64")})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        nv = quantized_unit(embedding_matrix(g))
+        sims = round_half_away(nv @ nv.T, 6)
+        upper = np.triu(np.ones((len(g), len(g)), dtype=bool), k=1)  # i < j
+        dup = ((sims >= thr) & upper).any(axis=0)
+        return pd.DataFrame({"vec_id": g["vec_id"].to_numpy(),
+                             "cluster": g["cluster"].to_numpy(),
+                             "kept": ~dup})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (ds.map_batches(assign, batch_format="pandas")
+            .groupby("cluster").map_groups(prune, batch_format="pandas"))
+
+
+EMB_SEMDEDUP_SQL = _ivf_sql(final_select="""
+, dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM afull a JOIN afull b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.45
+)
+SELECT f.vec_id, f.cid AS cluster,
+       f.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+FROM afull f
+""")
+
+
+def unigram_logprob_scores(sf_dir: str):
+    """CCNet-style LM quality scoring with a corpus-trained unigram model:
+    per-doc mean token log-probability. Exact-parity trick: log-probs are
+    quantized to INTEGER micro-nats (round(ln(count/total)*1e6)), so the
+    per-doc accumulation is an exact int64 sum on both engines — no float
+    accumulation order anywhere; the single double division at the end is
+    bit-identical.
+
+    Pass 1: per-batch token-count partials -> vocab-sized groupby -> driver
+    table (head vocabulary; at web scale the vocab is min_df-pruned like
+    tfidf_top_terms) -> ray.put broadcast of {word: lpm}.
+    Pass 2: vectorized per-doc tf x lpm dot — no shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.strip().str.split()
+        vc = words.explode().dropna()
+        vc = vc[vc != ""].value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+
+    vocab = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-sized
+    )
+    total = int(vocab["n"].sum())
+    lpm = round_half_away(
+        np.log(vocab["n"].to_numpy(dtype=np.float64) / total) * 1e6, 0
+    ).astype(np.int64)
+    lpm_ref = ray.put(dict(zip(vocab["word"], lpm)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        lpm_map = _ray.get(lpm_ref)
+        toks = df["text"].fillna("").str.lower().str.strip().str.split()
+        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "word": toks})
+        t = t.explode("word").dropna()
+        t = t[t["word"] != ""]
+        if len(t):
+            t["lpm"] = t["word"].map(lpm_map).astype("int64")
+            agg = t.groupby("doc_id", sort=False).agg(
+                n_tokens=("word", "size"), total_lpm=("lpm", "sum"))
+        else:
+            agg = pd.DataFrame(columns=["n_tokens", "total_lpm"])
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()}).join(
+            agg, on="doc_id")
+        n_tok = out["n_tokens"].fillna(0).to_numpy(dtype=np.int64)
+        tot = out["total_lpm"].fillna(0).to_numpy(dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(n_tok > 0,
+                            round_half_away(tot / (n_tok * 1e6), 6), 0.0)
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(),
+                             "n_tokens": n_tok,
+                             "mean_logprob": mean})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT doc_id, word FROM words WHERE word <> ''
+), tot AS (SELECT count(*) AS n FROM w),
+vocab AS (
+  SELECT word,
+         CAST(round(ln(count(*) * 1.0 / (SELECT n FROM tot)) * 1000000)
+              AS BIGINT) AS lpm
+  FROM w GROUP BY word
+), per_doc AS (
+  SELECT w.doc_id, count(*) AS n_tokens, sum(v.lpm) AS total_lpm
+  FROM w JOIN vocab v USING (word) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(round(p.total_lpm * 1.0 / (p.n_tokens * 1000000.0), 6), 0.0)
+         AS mean_logprob
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def top_quartile_docs_per_source(sf_dir: str):
+    """Per-source top-25% selection by document length (the stratified
+    "keep the best slice of every source" curation step), EXACT at scale
+    with no per-source sort:
+
+      pass 1: (source, n_chars) histogram — combiner partials -> small
+        groupby -> driver table (|sources| x |distinct lengths|, bounded);
+      driver: per-source quota k = ceil(n/4), cut value c* from the
+        descending cumulative histogram, and the number of boundary-tie
+        slots still open;
+      pass 2: per-batch partial min-k doc_ids among rows AT the boundary
+        value (a distributed bounded top-k: the global k smallest tie ids
+        are a subset of the union of per-batch k smallest) -> tiny driver
+        merge -> broadcast keep-set;
+      pass 3: stream filter n_chars > c* OR doc_id in tie keep-set.
+
+    Ties rank by doc_id ASC on both sides, so the selection is
+    deterministic and reshard-stable. Reads ONLY (doc_id, source,
+    n_chars) — the text column never leaves storage."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["source", "n_chars"], sort=False)
+             .size().rename("n").reset_index())
+        return g
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["source", "n_chars"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cut, tie_need = {}, {}
+    for source, g in hist.groupby("source", sort=False):
+        g = g.sort_values("n_chars", ascending=False)
+        n = int(g["n"].sum())
+        k = (n + 3) // 4  # ceil(n / 4)
+        cum = g["n"].cumsum().to_numpy()
+        pos = int(np.searchsorted(cum, k))
+        c_star = int(g["n_chars"].to_numpy()[pos])
+        above = int(cum[pos - 1]) if pos > 0 else 0
+        cut[source] = c_star
+        tie_need[source] = k - above
+
+    def tie_partial(df: pd.DataFrame) -> pd.DataFrame:
+        at = df[df["n_chars"] == df["source"].map(cut)]
+        out = []
+        for source, g in at.groupby("source", sort=False):
+            need = tie_need[source]
+            out.append(g.nsmallest(need, "doc_id")[["doc_id", "source"]])
+        # empty slice keeps the original column dtypes (object-dtype empties
+        # trip Ray's block-size estimator into log noise)
+        return pd.concat(out) if out else at.iloc[0:0][["doc_id", "source"]]
+
+    ties = ds.map_batches(tie_partial, batch_format="pandas").to_pandas()
+    keep_ids: set = set()
+    for source, g in ties.groupby("source", sort=False):
+        keep_ids |= set(g.nsmallest(tie_need[source], "doc_id")["doc_id"])
+    keep_ref = ray.put(keep_ids)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        keep = _ray.get(keep_ref)
+        sel = df[(df["n_chars"] > df["source"].map(cut))
+                 | df["doc_id"].isin(keep)]
+        return pd.DataFrame({"doc_id": sel["doc_id"].to_numpy(),
+                             "source": sel["source"].to_numpy(),
+                             "n_chars": sel["n_chars"].to_numpy()})
+
+    return ds.map_batches(final, batch_format="pandas")
+
+
+TOP_QUARTILE_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+WHERE rn <= (n + 3) // 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2700,6 +2935,9 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "decontaminate": decontaminate,
     "source_temperature_sample": source_temperature_sample,
+    "semdedup_prune": semdedup_prune,
+    "unigram_logprob_scores": unigram_logprob_scores,
+    "top_quartile_docs_per_source": top_quartile_docs_per_source,
     "span_roundtrip": span_roundtrip,
     "boilerplate_strip_docs": boilerplate_strip_docs,
     "ann_topk": ann_topk,
@@ -2756,6 +2994,9 @@ ORACLE_SQL = {
     "tfidf_top_terms": TFIDF_SQL,
     "decontaminate": DECONTAM_SQL,
     "source_temperature_sample": SOURCE_TEMP_SAMPLE_SQL,
+    "semdedup_prune": EMB_SEMDEDUP_SQL,
+    "unigram_logprob_scores": UNIGRAM_LOGPROB_SQL,
+    "top_quartile_docs_per_source": TOP_QUARTILE_SQL,
     "span_roundtrip": SPAN_ROUNDTRIP_SQL,
     "boilerplate_strip_docs": BOILERPLATE_SQL,
     "ann_topk": ANN_TOPK_SQL,

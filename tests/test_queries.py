@@ -80,6 +80,7 @@ def oracle_pairs():
     "token_counts", "quality_scores", "repetition_scores", "pack_sequences", "word_topk",
     "dedup_exact", "train_test_split", "regex_scrub", "tfidf_top_terms",
     "decontaminate", "source_temperature_sample",
+    "semdedup_prune", "unigram_logprob_scores", "top_quartile_docs_per_source",
     "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
     "embedding_label_norms", "distinct_sources",
     "customers_with_highvalue_orders", "customers_without_highvalue_orders",
