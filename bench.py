@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "ngram_jaccard_dup_pairs",
     "minhash_bands",
     "ann_topk",
+    "tfidf_top_terms",
+    "decontaminate",
+    "semdedup_prune",
     "lang_id",
     "repetition_scores",
     "pack_sequences",

@@ -8,6 +8,11 @@ Column names and rounding are kept identical on both sides so the driver's
 order-insensitive value-hash matches.
 
 Scale patterns demonstrated (and used at 100 TB):
+  - two-pass broadcast analytics: bounded global state (vocabulary, IDF /
+    unigram-LM tables, eval n-gram sets, per-source thresholds) built by a
+    combiner pass, shipped once via ray.put, consumed by a stateless
+    streaming pass — tfidf_top_terms, unigram_logprob_scores,
+    decontaminate, source_temperature_sample, top_quartile_docs_per_source;
   - column pruning at read_parquet;
   - partial aggregation inside map_batches before every groupby (the
     combiner), so the shuffle moves per-batch partials, not rows;
