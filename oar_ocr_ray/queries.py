@@ -2908,6 +2908,76 @@ WHERE rn <= (n + 3) // 4
 """
 
 
+def global_shuffle_rank(sf_dir: str, n_shards: int = 16, n_buckets: int = 256):
+    """Deterministic global shuffle for training-data ordering: every doc
+    gets its position in the md5-permuted corpus order and a round-robin
+    training shard — WITHOUT ds.random_shuffle's full materialized
+    exchange and without a global sort.
+
+    Distributed exact rank (the pack_sequences prefix-sum pattern, keyed
+    on the hash instead of doc_id): md5 keys are uniform, so the top 8
+    bits form 256 balanced range buckets that are MONOTONE in the sort
+    key. Pass 1 streams per-bucket counts (driver holds 256 ints ->
+    exclusive prefix offsets); pass 2 is one keyed shuffle, an in-bucket
+    vectorized argsort, and rank = bucket offset + local index. Ties
+    (64-bit hash collisions) break by doc_id on both sides."""
+    from .functions.dedup import md5_lower64
+
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        key = np.fromiter((md5_lower64(str(x)) for x in df["doc_id"]),
+                          dtype=np.uint64, count=len(df))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "key": key,
+            "bucket": (key >> shift).astype(np.int64),
+        })
+
+    keyed_ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        keyed, batch_format="pandas")
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["bucket"].value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(dtype=np.int64),
+                             "n": vc.to_numpy()})
+
+    counts = _reduce_small(
+        keyed_ds.map_batches(bucket_partial, batch_format="pandas"),
+        ["bucket"], ["n"]).sort_values("bucket")
+    offsets = dict(zip(
+        counts["bucket"].to_numpy(),
+        np.concatenate([[0], counts["n"].to_numpy()[:-1].cumsum()]),
+    ))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["doc_id"].to_numpy(),
+                            g["key"].to_numpy(dtype=np.uint64)))
+        pos = (np.arange(len(g), dtype=np.int64)
+               + int(offsets.get(int(g["bucket"].iloc[0]), 0)))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy()[order],
+            "pos": pos,
+            "shard": pos % n_shards,
+        })
+
+    return keyed_ds.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+GLOBAL_SHUFFLE_SQL = """
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(pos % 16 AS BIGINT) AS shard
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2943,6 +3013,7 @@ QUERIES = {
     "semdedup_prune": semdedup_prune,
     "unigram_logprob_scores": unigram_logprob_scores,
     "top_quartile_docs_per_source": top_quartile_docs_per_source,
+    "global_shuffle_rank": global_shuffle_rank,
     "span_roundtrip": span_roundtrip,
     "boilerplate_strip_docs": boilerplate_strip_docs,
     "ann_topk": ann_topk,
@@ -3002,6 +3073,7 @@ ORACLE_SQL = {
     "semdedup_prune": EMB_SEMDEDUP_SQL,
     "unigram_logprob_scores": UNIGRAM_LOGPROB_SQL,
     "top_quartile_docs_per_source": TOP_QUARTILE_SQL,
+    "global_shuffle_rank": GLOBAL_SHUFFLE_SQL,
     "span_roundtrip": SPAN_ROUNDTRIP_SQL,
     "boilerplate_strip_docs": BOILERPLATE_SQL,
     "ann_topk": ANN_TOPK_SQL,
