@@ -1,0 +1,191 @@
+"""Single-image OCR predict CLI + HTTP server.
+
+The Ray-side analogue of the reference's `oar-ocr-server` entry point
+(/root/reference/src/bin/server/main.rs:28-164 CLI, src/bin/server/ocr.rs:34-80
+HTTP): pipeline state is built ONCE and shared read-only across requests
+(the Arc<OAROCR> pattern), responses format as json | text | pretty.
+
+No Ray here on purpose: a single image is below any distribution threshold
+(the reference's own ParallelPolicy keeps <=4 items sequential,
+src/core/config/parallel.rs:82-90). The corpus-scale batch surface is
+`python -m oar_ocr_ray.pipelines.extract` — same stage semantics, Ray Data
+execution. This binary exists so a reference user's request-at-a-time
+workflow ports 1:1.
+
+Usage:
+  python tools/ocr_server.py predict page.png --format pretty
+  python tools/ocr_server.py serve --port 8765
+  curl -s --data-binary @page.png http://127.0.0.1:8765/ocr | jq .
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from oar_ocr_ray.ctc import ctc_greedy_decode, encode_ctc_logits
+from oar_ocr_ray.png_codec import decode_png
+from oar_ocr_ray.preprocess import det_resize, pad_to_min_size
+from oar_ocr_ray.sorting import sort_quad_boxes_indices
+from oar_ocr_ray.stubs import (
+    classify_orientation,
+    correct_orientation,
+    detect_boxes,
+    read_crop_text,
+)
+
+DET_MAX_SIDE = 4000  # DetResizeForTest max_side_limit (core/constants.rs)
+
+
+def predict_image(png_bytes: bytes, min_area: int = 9) -> dict:
+    """One image through the exact flagship stage semantics:
+    orientation -> DB-stand-in detection (with the DetResizeForTest
+    cap/pad policy) -> raster reading-order sort -> crop (vertical
+    auto-rotate) -> line-orientation-fused CTC recognition."""
+    img = decode_png(png_bytes)
+    cls = classify_orientation(img)
+    up = correct_orientation(img, cls)
+
+    h, w = up.shape[:2]
+    if max(h, w) > DET_MAX_SIDE:
+        det_in, (ry, rx) = det_resize(
+            up, limit_side_len=DET_MAX_SIDE, limit_type="max",
+            max_side_limit=DET_MAX_SIDE)
+    elif min(h, w) < 32:
+        det_in, (ry, rx) = pad_to_min_size(up, 32), (1.0, 1.0)
+    else:
+        det_in, (ry, rx) = up, (1.0, 1.0)
+
+    boxes = detect_boxes(det_in, min_area=min_area)
+    if len(boxes) and (ry, rx) != (1.0, 1.0):
+        b = boxes.astype(np.float64)
+        b[:, [0, 1]] = np.floor(b[:, [0, 1]] / [rx, ry])
+        b[:, [2, 3]] = np.ceil(b[:, [2, 3]] / [rx, ry])
+        boxes[:, 0] = np.clip(b[:, 0], 0, w)
+        boxes[:, 1] = np.clip(b[:, 1], 0, h)
+        boxes[:, 2] = np.clip(b[:, 2], 0, w)
+        boxes[:, 3] = np.clip(b[:, 3], 0, h)
+
+    spans = []
+    order = sort_quad_boxes_indices(boxes.astype(np.float64)) if len(boxes) else []
+    for det_idx, j in enumerate(order):
+        x0, y0, x1, y1 = (int(v) for v in boxes[j])
+        crop = up[y0:y1, x0:x1]
+        if crop.shape[0] >= 1.5 * crop.shape[1]:  # vertical text auto-rotate
+            crop = np.ascontiguousarray(np.rot90(crop, k=1))
+        raw = read_crop_text(crop)
+        if not raw:  # fused text-line orientation: failed upright read +
+            raw = read_crop_text(np.ascontiguousarray(np.rot90(crop, 2)))
+        text, conf, _ = ctc_greedy_decode(encode_ctc_logits(raw))
+        if not text:  # empty/low-score filter (ocr.rs drop path)
+            continue
+        spans.append({
+            "order": det_idx,
+            "text": text,
+            "confidence": round(float(conf), 6),
+            "box": [x0, y0, x1, y1],
+        })
+    return {
+        "width": int(img.shape[1]),
+        "height": int(img.shape[0]),
+        "orientation_class": int(cls),
+        "spans": spans,
+    }
+
+
+def format_result(result: dict, fmt: str) -> str:
+    if fmt == "json":
+        return json.dumps(result)
+    if fmt == "text":
+        return "\n".join(s["text"] for s in result["spans"])
+    lines = [
+        f"page {result['width']}x{result['height']} "
+        f"orientation={result['orientation_class'] * 90}deg "
+        f"spans={len(result['spans'])}"
+    ]
+    for s in result["spans"]:
+        x0, y0, x1, y1 = s["box"]
+        lines.append(
+            f"  [{s['order']:>3}] ({x0:>4},{y0:>4})-({x1:>4},{y1:>4}) "
+            f"conf={s['confidence']:.4f}  {s['text']}"
+        )
+    return "\n".join(lines)
+
+
+def make_server(host: str, port: int):
+    """Build (not start) the HTTP server; port 0 = OS-assigned."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        # pipeline state is module-level pure functions — read-only, safely
+        # shared across handler threads (the Arc<OAROCR> analogue)
+        def do_GET(self):
+            if self.path == "/health":
+                body = b'{"status":"ok"}'
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/ocr":
+                self.send_error(404)
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(n)
+            try:
+                body = json.dumps(predict_image(data)).encode()
+                code = 200
+            except Exception as e:  # bad PNG etc -> 4xx, not a crash
+                body = json.dumps({"error": str(e)}).encode()
+                code = 400
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(host: str, port: int) -> None:
+    httpd = make_server(host, port)
+    print(f"listening on http://{host}:{httpd.server_address[1]}/ocr", flush=True)
+    httpd.serve_forever()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pp = sub.add_parser("predict", help="OCR one PNG file")
+    pp.add_argument("image")
+    pp.add_argument("--format", choices=["json", "text", "pretty"],
+                    default="json")
+    ps = sub.add_parser("serve", help="HTTP server: POST /ocr with PNG body")
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8765)
+    args = p.parse_args(argv)
+
+    if args.cmd == "predict":
+        with open(args.image, "rb") as f:
+            result = predict_image(f.read())
+        print(format_result(result, args.format))
+        return 0
+    serve(args.host, args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
