@@ -1,0 +1,131 @@
+"""Edge-case stress for the curation operators: boundary ties that cross
+batch/partition lines, holdout-only corpora, single-source corpora —
+compared against DuckDB on purpose-built inputs (the sf testdata rarely
+exercises these boundaries)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from oar_ocr_ray.queries import (
+    DECONTAM_SQL,
+    GLOBAL_SHUFFLE_SQL,
+    TOP_QUARTILE_SQL,
+    decontaminate,
+    global_shuffle_rank,
+    top_quartile_docs_per_source,
+)
+
+
+def write_docs(tmp_path, rows, n_files=3):
+    """Write a documents table split across files so batches/blocks cut
+    through the data in arbitrary places. Layout matches the sf dirs:
+    <sf_dir>/documents.parquet is a DIRECTORY of part files (both
+    ray.data.read_parquet and DuckDB's glob accept it)."""
+    df = pd.DataFrame(rows)
+    d = tmp_path / "sf" / "documents.parquet"
+    os.makedirs(d, exist_ok=True)
+    for i, part in enumerate(np.array_split(df, n_files)):
+        pq.write_table(pa.Table.from_pandas(part.reset_index(drop=True)),
+                       d / f"part{i}.parquet")
+    return str(tmp_path / "sf")
+
+
+def oracle(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    return con.execute(sql).df()
+
+
+def normalize(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def assert_equal(a, b):
+    a, b = normalize(a), normalize(b)
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_quartile_all_ties(tmp_path):
+    """Every doc in a source has the SAME n_chars: the cut value selection
+    is pure tie-break — exactly ceil(n/4) lowest doc_ids must win, even
+    though the tie group spans every input file."""
+    rows = {
+        "doc_id": np.arange(100, dtype=np.int64),
+        "text": ["x"] * 100,
+        "lang": ["en"] * 100,
+        "source": ["s0"] * 50 + ["s1"] * 50,
+        "n_chars": np.int64(7),  # all equal
+    }
+    d = write_docs(tmp_path, rows)
+    got = top_quartile_docs_per_source(d).to_pandas()
+    want = oracle(d, TOP_QUARTILE_SQL)
+    assert_equal(got, want)
+    # ceil(50/4)=13 per source, lowest doc_ids
+    assert len(got) == 26
+    assert sorted(got[got.source == "s0"].doc_id) == list(range(13))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_quartile_boundary_tie_partial(tmp_path):
+    """Quota lands mid-tie: n_chars has two values, the boundary value has
+    more members than open slots."""
+    n = 40
+    rows = {
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["x"] * n,
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+        # 4 long docs, 36 at the boundary value; quota=10 -> 6 tie slots
+        "n_chars": np.array([100] * 4 + [50] * 36, dtype=np.int64),
+    }
+    d = write_docs(tmp_path, rows)
+    got = top_quartile_docs_per_source(d).to_pandas()
+    assert_equal(got, oracle(d, TOP_QUARTILE_SQL))
+    assert len(got) == 10
+    assert sorted(got[got.n_chars == 50].doc_id) == [4, 5, 6, 7, 8, 9]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_holdout_only_and_no_overlap(tmp_path):
+    """Corpus where NO training doc overlaps the holdout, plus docs shorter
+    than the n-gram length (must emit 0 hits, not crash)."""
+    rows = {
+        "doc_id": np.array([0, 97, 1, 2, 3], dtype=np.int64),  # 0,97 holdout
+        "text": ["a b c d e", "f g h i", "z z y y x x w", "q r", ""],
+        "lang": ["en"] * 5,
+        "source": ["s"] * 5,
+        "n_chars": np.int64(5),
+    }
+    d = write_docs(tmp_path, rows, n_files=2)
+    got = decontaminate(d).to_pandas()
+    assert_equal(got, oracle(d, DECONTAM_SQL))
+    assert len(got) == 3  # holdout rows excluded
+    assert not got["contaminated"].any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_shuffle_rank_is_permutation(tmp_path):
+    rows = {
+        "doc_id": np.arange(257, dtype=np.int64),  # > n_buckets, hits many
+        "text": ["x"] * 257,
+        "lang": ["en"] * 257,
+        "source": ["s"] * 257,
+        "n_chars": np.int64(1),
+    }
+    d = write_docs(tmp_path, rows, n_files=4)
+    got = global_shuffle_rank(d).to_pandas()
+    assert_equal(got, oracle(d, GLOBAL_SHUFFLE_SQL))
+    assert sorted(got["pos"]) == list(range(257))  # exact permutation
+    assert set(got["shard"]) == set(range(16))
