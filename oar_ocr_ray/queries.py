@@ -2355,6 +2355,33 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <=
 ANN_IVF_SQL = _ivf_sql()
 
 
+def _cluster_assign_fn(cent_ref, keep_embedding: bool = False):
+    """Per-batch nearest-centroid assignment against broadcast centroids
+    (shared by embedding_clusters and semdedup_prune; parity: argmax of
+    round6 similarity = SQL's ORDER BY sim DESC, cid ASC)."""
+    from .functions.ann import embedding_matrix, quantized_unit
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = {"vec_id": pd.Series(dtype="int64")}
+            if keep_embedding:
+                out["embedding"] = pd.Series(dtype="object")
+            out["cluster"] = pd.Series(dtype="int64")
+            return pd.DataFrame(out)
+        import ray as _ray
+
+        cents = _ray.get(cent_ref)
+        nv = quantized_unit(embedding_matrix(df))
+        cluster = round_half_away(nv @ cents.T, 6).argmax(axis=1)
+        out = {"vec_id": df["vec_id"].to_numpy()}
+        if keep_embedding:
+            out["embedding"] = df["embedding"].to_numpy()
+        out["cluster"] = cluster.astype("int64")
+        return pd.DataFrame(out)
+
+    return assign
+
+
 def embedding_clusters(sf_dir: str, n_clusters: int = 8, iters: int = 2):
     """Corpus clustering for data curation (the SemDeDup-style semantic
     bucketing step, Abbas et al. 2023 — public): every vector assigned to
@@ -2363,27 +2390,14 @@ def embedding_clusters(sf_dir: str, n_clusters: int = 8, iters: int = 2):
     ann_ivf_topk; EXACT DuckDB oracle sharing the IVF CTE prefix."""
     import ray
 
-    from .functions.ann import embedding_matrix, ivf_parity_fit, quantized_unit
-    from .numeric import round_half_away as _rha
+    from .functions.ann import ivf_parity_fit
 
     nv_sample = _sample_nv_by_vecid(sf_dir, max_rows=4096)
     centroids = ivf_parity_fit(nv_sample, k=n_clusters, iters=iters)
     cent_ref = ray.put(centroids)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "cluster": pd.Series(dtype="int64")})
-        import ray as _ray
-
-        cents = _ray.get(cent_ref)
-        nv = quantized_unit(embedding_matrix(df))
-        cluster = _rha(nv @ cents.T, 6).argmax(axis=1)
-        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
-                             "cluster": cluster.astype("int64")})
-
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ds.map_batches(assign, batch_format="pandas")
+    return ds.map_batches(_cluster_assign_fn(cent_ref), batch_format="pandas")
 
 
 EMB_CLUSTERS_SQL = _ivf_sql(
@@ -2394,6 +2408,14 @@ EMB_CLUSTERS_SQL = _ivf_sql(
 # ---------------------------------------------------------------------------
 # Training-data curation: scrubbing, TF-IDF, decontamination, source mixing
 # ---------------------------------------------------------------------------
+
+def _tokens(s: pd.Series) -> pd.Series:
+    """The shared whitespace tokenizer: lower + strip + split. Must stay in
+    lockstep with the SQL oracles' regexp_split_to_array(lower(trim(text)),
+    '\\s+') + word <> '' filter — Python split() drops empty tokens, so
+    every SQL consumer filters/renumbers empties the same way."""
+    return s.fillna("").str.lower().str.strip().str.split()
+
 
 # The PII/entity scrub battery. In production this is the email/phone/SSN
 # regex set; the synthetic corpus contains no PII, so the driver instance
@@ -2410,10 +2432,11 @@ def regex_scrub(sf_dir: str):
     captured by the closure (bytes, not re-shipped per batch)."""
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
-            "n_scrubbed": df["text"].str.count(SCRUB_PATTERN).astype("int64"),
-            "clean_text": df["text"].str.replace(SCRUB_PATTERN, SCRUB_TOKEN, regex=True),
+            "n_scrubbed": text.str.count(SCRUB_PATTERN).astype("int64"),
+            "clean_text": text.str.replace(SCRUB_PATTERN, SCRUB_TOKEN, regex=True),
         })
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2422,8 +2445,10 @@ def regex_scrub(sf_dir: str):
 
 REGEX_SCRUB_SQL = rf"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{SCRUB_PATTERN}')) AS BIGINT) AS n_scrubbed,
-       regexp_replace(text, '{SCRUB_PATTERN}', '{SCRUB_TOKEN}', 'g') AS clean_text
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{SCRUB_PATTERN}'))
+            AS BIGINT) AS n_scrubbed,
+       regexp_replace(COALESCE(text, ''), '{SCRUB_PATTERN}', '{SCRUB_TOKEN}', 'g')
+         AS clean_text
 FROM documents
 """
 
@@ -2450,11 +2475,8 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
 
-    def tokens(s: pd.Series) -> pd.Series:
-        return s.fillna("").str.lower().str.strip().str.split()
-
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "term": tokens(df["text"])})
+        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "term": _tokens(df["text"])})
         t = t.explode("term").dropna()
         t = t[t["term"] != ""].drop_duplicates()
         vc = t["term"].value_counts()
@@ -2473,7 +2495,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
         import ray as _ray
 
         idf_map = _ray.get(idf_ref)
-        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "term": tokens(df["text"])})
+        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "term": _tokens(df["text"])})
         t = t.explode("term").dropna()
         t = t[t["term"] != ""]
         if len(t) == 0:
@@ -2537,7 +2559,7 @@ def decontaminate(sf_dir: str):
     import ray
 
     def grams_of(text_s: pd.Series) -> pd.Series:
-        toks = text_s.fillna("").str.lower().str.strip().str.split()
+        toks = _tokens(text_s)
         n = DECONTAM_N
         return toks.map(
             lambda w: {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
@@ -2575,11 +2597,17 @@ def decontaminate(sf_dir: str):
 
 
 DECONTAM_SQL = r"""
-WITH toks AS (
+WITH raw AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word,
-         generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+         generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS rawpos
   FROM documents WHERE trim(text) <> ''
+), toks AS (
+  -- drop empty tokens (text edged by non-space whitespace splits to '')
+  -- and RENUMBER so n-grams match Python split()'s contiguous tokens
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+  FROM raw WHERE word <> ''
 ), grams AS (
   SELECT doc_id,
          word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS gram
@@ -2634,7 +2662,9 @@ def source_temperature_sample(sf_dir: str):
     )
     total = int(counts["n"].sum())
     target = total // 2  # target corpus size (integer half, matching the oracle)
-    s = {str(r["source"]): int(round(float(np.sqrt(r["n"])) * 1000))
+    # round_half_away = DuckDB round(); builtin round() is half-to-even and
+    # would diverge on an exact .5 double (numeric.py parity rule)
+    s = {str(r["source"]): int(round_half_away(float(np.sqrt(r["n"])) * 1000, 0))
          for _, r in counts.iterrows()}
     big_s = sum(s.values())
     thr = {src: min(10**6, (target * s[src] * 10**6)
@@ -2694,20 +2724,6 @@ def semdedup_prune(sf_dir: str, thr: float = 0.45, n_clusters: int = 8,
     centroids = ivf_parity_fit(nv_sample, k=n_clusters, iters=iters)
     cent_ref = ray.put(centroids)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "embedding": pd.Series(dtype="object"),
-                                 "cluster": pd.Series(dtype="int64")})
-        import ray as _ray
-
-        cents = _ray.get(cent_ref)
-        nv = quantized_unit(embedding_matrix(df))
-        cluster = round_half_away(nv @ cents.T, 6).argmax(axis=1)
-        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
-                             "embedding": df["embedding"].to_numpy(),
-                             "cluster": cluster.astype("int64")})
-
     def prune(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id")
         nv = quantized_unit(embedding_matrix(g))
@@ -2719,7 +2735,8 @@ def semdedup_prune(sf_dir: str, thr: float = 0.45, n_clusters: int = 8,
                              "kept": ~dup})
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return (ds.map_batches(assign, batch_format="pandas")
+    return (ds.map_batches(_cluster_assign_fn(cent_ref, keep_embedding=True),
+                           batch_format="pandas")
             .groupby("cluster").map_groups(prune, batch_format="pandas"))
 
 
@@ -2753,8 +2770,7 @@ def unigram_logprob_scores(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].fillna("").str.lower().str.strip().str.split()
-        vc = words.explode().dropna()
+        vc = _tokens(df["text"]).explode().dropna()
         vc = vc[vc != ""].value_counts()
         return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
 
@@ -2773,8 +2789,7 @@ def unigram_logprob_scores(sf_dir: str):
         import ray as _ray
 
         lpm_map = _ray.get(lpm_ref)
-        toks = df["text"].fillna("").str.lower().str.strip().str.split()
-        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "word": toks})
+        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "word": _tokens(df["text"])})
         t = t.explode("word").dropna()
         t = t[t["word"] != ""]
         if len(t):

@@ -102,17 +102,21 @@ def test_decontaminate_holdout_only_and_no_overlap(tmp_path):
     """Corpus where NO training doc overlaps the holdout, plus docs shorter
     than the n-gram length (must emit 0 hits, not crash)."""
     rows = {
-        "doc_id": np.array([0, 97, 1, 2, 3], dtype=np.int64),  # 0,97 holdout
-        "text": ["a b c d e", "f g h i", "z z y y x x w", "q r", ""],
-        "lang": ["en"] * 5,
-        "source": ["s"] * 5,
+        "doc_id": np.array([0, 97, 1, 2, 3, 4], dtype=np.int64),  # 0,97 holdout
+        # doc 0 is edged by a tab: DuckDB trim() strips only spaces, so the
+        # oracle must drop+renumber the empty token exactly like split()
+        "text": ["\ta b c d e\n", "f g h i", "z z y y x x w", "q r", "",
+                 "x a b c y"],  # doc 4 shares holdout gram 'a b c'
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
         "n_chars": np.int64(5),
     }
     d = write_docs(tmp_path, rows, n_files=2)
     got = decontaminate(d).to_pandas()
     assert_equal(got, oracle(d, DECONTAM_SQL))
-    assert len(got) == 3  # holdout rows excluded
-    assert not got["contaminated"].any()
+    assert len(got) == 4  # holdout rows excluded
+    assert got.set_index("doc_id")["contaminated"].to_dict() == {
+        1: False, 2: False, 3: False, 4: True}
 
 
 @pytest.mark.usefixtures("ray_session")

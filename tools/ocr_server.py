@@ -43,12 +43,13 @@ from oar_ocr_ray.stubs import (
 DET_MAX_SIDE = 4000  # DetResizeForTest max_side_limit (core/constants.rs)
 
 
-def predict_image(png_bytes: bytes, min_area: int = 9) -> dict:
+def predict_image(png_bytes: bytes, min_area: int = 9,
+                  decoded: np.ndarray | None = None) -> dict:
     """One image through the exact flagship stage semantics:
     orientation -> DB-stand-in detection (with the DetResizeForTest
     cap/pad policy) -> raster reading-order sort -> crop (vertical
     auto-rotate) -> line-orientation-fused CTC recognition."""
-    img = decode_png(png_bytes)
+    img = decode_png(png_bytes) if decoded is None else decoded
     cls = classify_orientation(img)
     up = correct_orientation(img, cls)
 
@@ -91,9 +92,11 @@ def predict_image(png_bytes: bytes, min_area: int = 9) -> dict:
             "confidence": round(float(conf), 6),
             "box": [x0, y0, x1, y1],
         })
+    # dims of the UPRIGHT frame — the frame the span boxes live in (the
+    # pipeline's report_original_frame=False convention, stages/media.py)
     return {
-        "width": int(img.shape[1]),
-        "height": int(img.shape[0]),
+        "width": int(up.shape[1]),
+        "height": int(up.shape[0]),
         "orientation_class": int(cls),
         "spans": spans,
     }
@@ -143,11 +146,20 @@ def make_server(host: str, port: int):
             n = int(self.headers.get("Content-Length", 0))
             data = self.rfile.read(n)
             try:
-                body = json.dumps(predict_image(data)).encode()
+                img = decode_png(data)
+            except Exception as e:  # client sent a bad PNG -> 400
+                body = json.dumps({"error": f"invalid png: {e}"}).encode()
+                self._reply(400, body)
+                return
+            try:
+                body = json.dumps(predict_image(data, decoded=img)).encode()
                 code = 200
-            except Exception as e:  # bad PNG etc -> 4xx, not a crash
-                body = json.dumps({"error": str(e)}).encode()
-                code = 400
+            except Exception:  # pipeline defect -> 500, no internals leaked
+                body = b'{"error":"internal error"}'
+                code = 500
+            self._reply(code, body)
+
+        def _reply(self, code: int, body: bytes) -> None:
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
