@@ -2629,6 +2629,85 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+def dup_ngram_spans(sf_dir: str, n: int = 3, n_parts: int = 512):
+    """Span-level substring dedup (the Lee et al. 2022 'deduplicating
+    training data' signal at n-gram granularity): every (doc, position)
+    whose n-gram also occurs in at least one OTHER document. Unlike the
+    doc-level dedup family this emits the duplicated SPANS, the input to
+    span-excision dedup.
+
+    Scale shape: explode (gram, doc_id, pos) in map_batches, then ONE
+    keyed shuffle — on crc32(gram) % n_parts, the coarse-partition trick
+    (stages/reassemble.py pattern) — and a VECTORIZED in-partition
+    nunique filter; never one Python call per distinct gram, no driver
+    state at all. Positions are 1-based token indices (= the SQL
+    renumbered row_number)."""
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "pos": pd.Series(dtype="int64"),
+                          "gram": pd.Series(dtype="object"),
+                          "part": pd.Series(dtype="int64")})
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df["text"])
+        lens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total < n:
+            return empty.copy()
+        words = toks.explode().dropna().to_numpy(dtype=object)
+        doc_rep = np.repeat(df["doc_id"].to_numpy(), lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos_in_doc = np.arange(total, dtype=np.int64) - starts + 1
+        # vectorized n-gram join via shifted object-array concat; a window
+        # is valid only when its last word is still in the SAME doc
+        m = total - n + 1
+        grams = words[:m]
+        for i in range(1, n):
+            grams = grams + " " + words[i:m + i]
+        valid = doc_rep[:m] == doc_rep[n - 1:]
+        out = pd.DataFrame({"doc_id": doc_rep[:m][valid],
+                            "pos": pos_in_doc[:m][valid],
+                            "gram": grams[valid]})
+        # internal partition key (the oracle never sees it): any vectorized
+        # deterministic hash works
+        out["part"] = (pd.util.hash_array(out["gram"].to_numpy(dtype=object))
+                       % n_parts).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby("gram")["doc_id"].transform("nunique") >= 2
+        sel = g[dup]
+        return pd.DataFrame({"doc_id": sel["doc_id"].to_numpy(),
+                             "pos": sel["pos"].to_numpy(),
+                             "gram": sel["gram"].to_numpy()})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(explode, batch_format="pandas")
+            .groupby("part").map_groups(per_part, batch_format="pandas"))
+
+
+DUP_NGRAM_SPANS_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word,
+         generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS rawpos
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+  FROM raw WHERE word <> ''
+), grams AS (
+  SELECT doc_id, pos,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 2) OVER w IS NOT NULL
+), dupg AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, g.gram
+FROM grams g JOIN dupg USING (gram)
+"""
+
+
 def source_temperature_sample(sf_dir: str):
     """Temperature-based source mixing (the data-mixture rebalancing step:
     sample each source at a rate proportional to count^alpha, alpha=0.5,
@@ -3024,6 +3103,7 @@ QUERIES = {
     "regex_scrub": regex_scrub,
     "tfidf_top_terms": tfidf_top_terms,
     "decontaminate": decontaminate,
+    "dup_ngram_spans": dup_ngram_spans,
     "source_temperature_sample": source_temperature_sample,
     "semdedup_prune": semdedup_prune,
     "unigram_logprob_scores": unigram_logprob_scores,
@@ -3084,6 +3164,7 @@ ORACLE_SQL = {
     "regex_scrub": REGEX_SCRUB_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "decontaminate": DECONTAM_SQL,
+    "dup_ngram_spans": DUP_NGRAM_SPANS_SQL,
     "source_temperature_sample": SOURCE_TEMP_SAMPLE_SQL,
     "semdedup_prune": EMB_SEMDEDUP_SQL,
     "unigram_logprob_scores": UNIGRAM_LOGPROB_SQL,

@@ -79,7 +79,7 @@ def oracle_pairs():
     "parts_price_band_join", "token_percentiles_by_source",
     "token_counts", "quality_scores", "repetition_scores", "pack_sequences", "word_topk",
     "dedup_exact", "train_test_split", "regex_scrub", "tfidf_top_terms",
-    "decontaminate", "source_temperature_sample",
+    "decontaminate", "dup_ngram_spans", "source_temperature_sample",
     "semdedup_prune", "unigram_logprob_scores", "top_quartile_docs_per_source",
     "global_shuffle_rank",
     "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
