@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "token_counts",
     "word_topk",
     "dedup_exact",
+    "dup_ngram_spans",
     "ngram_jaccard_dup_pairs",
     "minhash_bands",
     "ann_topk",

@@ -120,6 +120,19 @@ def test_decontaminate_holdout_only_and_no_overlap(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_spans_partition_invariant():
+    """The coarse partition key is internal: any n_parts must yield the
+    identical span set."""
+    from oar_ocr_ray.queries import dup_ngram_spans
+
+    sf = "/root/testdata/sf0.001"
+    a = normalize(dup_ngram_spans(sf, n_parts=7).to_pandas())
+    b = normalize(dup_ngram_spans(sf, n_parts=512).to_pandas())
+    assert len(a) > 0
+    assert_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_global_shuffle_rank_is_permutation(tmp_path):
     rows = {
         "doc_id": np.arange(257, dtype=np.int64),  # > n_buckets, hits many
