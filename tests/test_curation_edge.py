@@ -120,6 +120,43 @@ def test_decontaminate_holdout_only_and_no_overlap(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_tfidf_and_unigram_ties_and_empty(tmp_path):
+    """Score ties at the top-k boundary must break by term ASC (both
+    engines), and empty/whitespace-only docs must not crash — tfidf emits
+    no rows for them, unigram emits n_tokens=0/mean=0."""
+    from oar_ocr_ray.queries import (
+        TFIDF_SQL,
+        UNIGRAM_LOGPROB_SQL,
+        tfidf_top_terms,
+        unigram_logprob_scores,
+    )
+
+    rows = {
+        "doc_id": np.arange(6, dtype=np.int64),
+        # doc 0 has all four terms at tf=1: b,d share idf=ln(3) and a,c
+        # share idf=ln(2), so the third top-3 slot is an exact a-vs-c score
+        # tie -> term ASC must pick 'a' on both engines
+        "text": ["d c b a", "a b", "c d", "a c", "", "  \t "],
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
+        "n_chars": np.int64(7),
+    }
+    d = write_docs(tmp_path, rows, n_files=2)
+
+    got = tfidf_top_terms(d).to_pandas()
+    assert_equal(got, oracle(d, TFIDF_SQL))
+    doc0 = got[got.doc_id == 0]
+    assert len(doc0) == 3 and sorted(doc0.term) == ["a", "b", "d"]
+    assert not set(got.doc_id) & {4, 5}  # token-free docs emit nothing
+
+    got = unigram_logprob_scores(d).to_pandas()
+    assert_equal(got, oracle(d, UNIGRAM_LOGPROB_SQL))
+    assert len(got) == 6
+    empt = got[got.doc_id.isin([4, 5])]
+    assert (empt.n_tokens == 0).all() and (empt.mean_logprob == 0.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dup_ngram_spans_partition_invariant():
     """The coarse partition key is internal: any n_parts must yield the
     identical span set."""
