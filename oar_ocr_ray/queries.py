@@ -2499,9 +2499,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
         t = t.explode("term").dropna()
         t = t[t["term"] != ""]
         if len(t) == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "term": pd.Series(dtype="object"),
-                                 "score": pd.Series(dtype="float64")})
+            # typed empty (a 0-row object column trips Ray's size estimator)
+            return pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
+                                 "term": np.array([], dtype="U1"),
+                                 "score": np.array([], dtype=np.float64)})
         tf = t.groupby(["doc_id", "term"], sort=False).size().rename("tf").reset_index()
         tf["score"] = round_half_away(
             tf["tf"].to_numpy(dtype=np.float64)

@@ -185,6 +185,8 @@ def main(argv=None) -> int:
     pp.add_argument("image")
     pp.add_argument("--format", choices=["json", "text", "pretty"],
                     default="json")
+    pp.add_argument("--visualize", metavar="OUT_PNG",
+                    help="also write a side-by-side visualization PNG")
     ps = sub.add_parser("serve", help="HTTP server: POST /ocr with PNG body")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8765)
@@ -192,7 +194,13 @@ def main(argv=None) -> int:
 
     if args.cmd == "predict":
         with open(args.image, "rb") as f:
-            result = predict_image(f.read())
+            data = f.read()
+        result = predict_image(data)
+        if args.visualize:
+            from oar_ocr_ray.visualization import visualize_ocr_png
+
+            with open(args.visualize, "wb") as f:
+                f.write(visualize_ocr_png(data, result))
         print(format_result(result, args.format))
         return 0
     serve(args.host, args.port)
