@@ -70,128 +70,10 @@ class StructureExtract:
             # corrupt blob: skip like missing media, never abort the run
             self.missing_media += 1
             return None
-        cls = classify_orientation(img)
-        img = correct_orientation(img, cls)
-        h, w = img.shape
+        out = predict_structure_page(img, min_line_area=self.min_line_area)
+        out["media_ref"] = ref
+        return out
 
-        lb, labels, scores = detect_layout_blocks(img)
-        regions = detect_region_blocks(img)
-        line_boxes = detect_boxes(img, min_area=self.min_line_area).astype(np.float64)
-
-        # cross-layout re-recognition split (structure.rs:2017-2108):
-        # containers = region blocks when detected, else layout blocks with
-        # container labels (structure.rs:2022-2052)
-        if len(regions):
-            containers = regions
-        else:
-            containers = (
-                lb[[i for i, l in enumerate(labels) if l in CONTAINER_LABELS]]
-                if len(lb) else np.zeros((0, 4))
-            )
-        if len(containers) and len(line_boxes):
-            line_boxes = split_boxes_by_containers(line_boxes, containers)
-
-        # seal-text path (structure.rs:1794): Seal blocks get their own
-        # detection pass with the seal preset; their general-path
-        # detections are dropped and replaced by the per-block seal quads
-        # (y_min-sorted via sort_poly_boxes), recognized through the
-        # quad-warp crop below
-        seal_blocks = (
-            lb[[i for i, l in enumerate(labels) if l == "seal"]]
-            if len(lb) else np.zeros((0, 4))
-        )
-        seal_quads = np.zeros((0, 4, 2))
-        if len(seal_blocks):
-            seal_quads = detect_seal_text(
-                img, seal_blocks, lambda c, ma: detect_boxes(c, min_area=ma)
-            )
-            if len(line_boxes):
-                cx = (line_boxes[:, 0] + line_boxes[:, 2]) / 2
-                cy = (line_boxes[:, 1] + line_boxes[:, 3]) / 2
-                inside = np.zeros(len(line_boxes), dtype=bool)
-                for sb in seal_blocks:
-                    inside |= (cx >= sb[0]) & (cx < sb[2]) & (cy >= sb[1]) & (cy < sb[3])
-                line_boxes = line_boxes[~inside]
-
-        from ..stubs import read_line_text
-
-        texts, boxes = [], []
-        for b in line_boxes:
-            x0, y0, x1, y1 = (int(np.floor(b[0])), int(np.floor(b[1])),
-                              int(np.ceil(b[2])), int(np.ceil(b[3])))
-            crop = img[max(y0, 0):min(y1, h), max(x0, 0):min(x1, w)]
-            # orientation-fused recognition (0/180 classify = upright read)
-            t = read_line_text(crop)
-            if t:  # empty recognition dropped (structure.rs:2200 precedent)
-                texts.append(t)
-                boxes.append(b)
-        boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
-
-        # seal quads recognized through the perspective quad crop (the
-        # curved-text path; appended BEFORE fallback OCR so a recognized
-        # seal counts as matched, structure.rs:1794 ordering)
-        for q in seal_quads:
-            t = read_line_text(get_rotate_crop_image(img, q))
-            if t:
-                boxes = np.concatenate([boxes, np.array(
-                    [[q[:, 0].min(), q[:, 1].min(), q[:, 0].max(), q[:, 1].max()]]
-                )])
-                texts.append(t)
-
-        # layout-bbox fallback OCR (structure.rs:1337-1395): non-image
-        # blocks with no matched text get a whole-block recognition attempt
-        for j in fallback_ocr_blocks(lb, labels, boxes):
-            bx0, by0 = max(int(lb[j, 0]), 0), max(int(lb[j, 1]), 0)
-            t = read_line_text(img[by0:int(lb[j, 3]), bx0:int(lb[j, 2])])
-            if t:
-                boxes = np.concatenate([boxes, lb[j:j + 1]])
-                texts.append(t)
-
-        # table front half: classify wired/wireless, detect cells, analyze
-        # (table_classification.rs + table_cell_detection_adapter.rs +
-        # TableAnalyzer, with the deterministic stand-ins)
-        from ..structure import compute_table_htmls
-
-        all_cells = []
-        for j, label in enumerate(labels):
-            if label == "table" and classify_table(img, lb[j]) == "wired":
-                cells = detect_table_cells(img, lb[j])
-                if len(cells):
-                    all_cells.append(cells)
-        cells = np.concatenate(all_cells) if all_cells else np.zeros((0, 4))
-
-        # OCR split by table cells + re-recognition (structure.rs:1418-1639):
-        # a line spanning >= 2 cells is replaced by its per-cell segments
-        if len(cells) and len(boxes):
-            nb, src, was_split = split_ocr_by_table_cells(boxes, cells)
-            if was_split.any():
-                new_boxes, new_texts = [], []
-                for b, s, ws in zip(nb, src, was_split):
-                    if not ws:
-                        new_boxes.append(b)
-                        new_texts.append(texts[int(s)])
-                        continue
-                    sx0, sy0 = max(int(np.floor(b[0])), 0), max(int(np.floor(b[1])), 0)
-                    t = read_line_text(img[sy0:int(np.ceil(b[3])), sx0:int(np.ceil(b[2]))])
-                    if t:
-                        new_boxes.append(b)
-                        new_texts.append(t)
-                boxes = np.asarray(new_boxes, dtype=np.float64).reshape(-1, 4)
-                texts = new_texts
-
-        table_html = compute_table_htmls(lb, labels, cells, boxes, texts)
-
-        elements = stitch_page_enhanced(
-            lb, labels, scores, boxes, texts, page_w=float(w), page_h=float(h),
-            table_html=table_html, region_boxes=regions,
-        )
-        return {
-            "media_ref": ref,
-            "n_elements": len(elements),
-            "labels": ";".join(e["label"] for e in elements),
-            "markdown": page_to_markdown(elements),
-            "html": page_to_html(elements),
-        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = [r for r in (self._one_page(ref) for ref in batch["media_ref"].to_pylist())
@@ -205,3 +87,139 @@ class StructureExtract:
                 "html": pa.array([r["html"] for r in rows], pa.string()),
             }
         )
+
+
+
+def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
+                           return_elements: bool = False) -> dict:
+    """The full per-page PP-StructureV3 flow on a decoded grayscale page —
+    the single-page OARStructure::predict_image surface
+    (structure.rs:2271-2468), shared by the actor stage and the CLI.
+    return_elements=True additionally includes the stitched element dicts
+    (bbox/label/score/text/order_index) — the CLI/visualization payload;
+    the actor stage keeps them off its Arrow rows."""
+    cls = classify_orientation(img)
+    img = correct_orientation(img, cls)
+    h, w = img.shape
+
+    lb, labels, scores = detect_layout_blocks(img)
+    regions = detect_region_blocks(img)
+    line_boxes = detect_boxes(img, min_area=min_line_area).astype(np.float64)
+
+    # cross-layout re-recognition split (structure.rs:2017-2108):
+    # containers = region blocks when detected, else layout blocks with
+    # container labels (structure.rs:2022-2052)
+    if len(regions):
+        containers = regions
+    else:
+        containers = (
+            lb[[i for i, l in enumerate(labels) if l in CONTAINER_LABELS]]
+            if len(lb) else np.zeros((0, 4))
+        )
+    if len(containers) and len(line_boxes):
+        line_boxes = split_boxes_by_containers(line_boxes, containers)
+
+    # seal-text path (structure.rs:1794): Seal blocks get their own
+    # detection pass with the seal preset; their general-path
+    # detections are dropped and replaced by the per-block seal quads
+    # (y_min-sorted via sort_poly_boxes), recognized through the
+    # quad-warp crop below
+    seal_blocks = (
+        lb[[i for i, l in enumerate(labels) if l == "seal"]]
+        if len(lb) else np.zeros((0, 4))
+    )
+    seal_quads = np.zeros((0, 4, 2))
+    if len(seal_blocks):
+        seal_quads = detect_seal_text(
+            img, seal_blocks, lambda c, ma: detect_boxes(c, min_area=ma)
+        )
+        if len(line_boxes):
+            cx = (line_boxes[:, 0] + line_boxes[:, 2]) / 2
+            cy = (line_boxes[:, 1] + line_boxes[:, 3]) / 2
+            inside = np.zeros(len(line_boxes), dtype=bool)
+            for sb in seal_blocks:
+                inside |= (cx >= sb[0]) & (cx < sb[2]) & (cy >= sb[1]) & (cy < sb[3])
+            line_boxes = line_boxes[~inside]
+
+    from ..stubs import read_line_text
+
+    texts, boxes = [], []
+    for b in line_boxes:
+        x0, y0, x1, y1 = (int(np.floor(b[0])), int(np.floor(b[1])),
+                          int(np.ceil(b[2])), int(np.ceil(b[3])))
+        crop = img[max(y0, 0):min(y1, h), max(x0, 0):min(x1, w)]
+        # orientation-fused recognition (0/180 classify = upright read)
+        t = read_line_text(crop)
+        if t:  # empty recognition dropped (structure.rs:2200 precedent)
+            texts.append(t)
+            boxes.append(b)
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+
+    # seal quads recognized through the perspective quad crop (the
+    # curved-text path; appended BEFORE fallback OCR so a recognized
+    # seal counts as matched, structure.rs:1794 ordering)
+    for q in seal_quads:
+        t = read_line_text(get_rotate_crop_image(img, q))
+        if t:
+            boxes = np.concatenate([boxes, np.array(
+                [[q[:, 0].min(), q[:, 1].min(), q[:, 0].max(), q[:, 1].max()]]
+            )])
+            texts.append(t)
+
+    # layout-bbox fallback OCR (structure.rs:1337-1395): non-image
+    # blocks with no matched text get a whole-block recognition attempt
+    for j in fallback_ocr_blocks(lb, labels, boxes):
+        bx0, by0 = max(int(lb[j, 0]), 0), max(int(lb[j, 1]), 0)
+        t = read_line_text(img[by0:int(lb[j, 3]), bx0:int(lb[j, 2])])
+        if t:
+            boxes = np.concatenate([boxes, lb[j:j + 1]])
+            texts.append(t)
+
+    # table front half: classify wired/wireless, detect cells, analyze
+    # (table_classification.rs + table_cell_detection_adapter.rs +
+    # TableAnalyzer, with the deterministic stand-ins)
+    from ..structure import compute_table_htmls
+
+    all_cells = []
+    for j, label in enumerate(labels):
+        if label == "table" and classify_table(img, lb[j]) == "wired":
+            cells = detect_table_cells(img, lb[j])
+            if len(cells):
+                all_cells.append(cells)
+    cells = np.concatenate(all_cells) if all_cells else np.zeros((0, 4))
+
+    # OCR split by table cells + re-recognition (structure.rs:1418-1639):
+    # a line spanning >= 2 cells is replaced by its per-cell segments
+    if len(cells) and len(boxes):
+        nb, src, was_split = split_ocr_by_table_cells(boxes, cells)
+        if was_split.any():
+            new_boxes, new_texts = [], []
+            for b, s, ws in zip(nb, src, was_split):
+                if not ws:
+                    new_boxes.append(b)
+                    new_texts.append(texts[int(s)])
+                    continue
+                sx0, sy0 = max(int(np.floor(b[0])), 0), max(int(np.floor(b[1])), 0)
+                t = read_line_text(img[sy0:int(np.ceil(b[3])), sx0:int(np.ceil(b[2]))])
+                if t:
+                    new_boxes.append(b)
+                    new_texts.append(t)
+            boxes = np.asarray(new_boxes, dtype=np.float64).reshape(-1, 4)
+            texts = new_texts
+
+    table_html = compute_table_htmls(lb, labels, cells, boxes, texts)
+
+    elements = stitch_page_enhanced(
+        lb, labels, scores, boxes, texts, page_w=float(w), page_h=float(h),
+        table_html=table_html, region_boxes=regions,
+    )
+    out = {
+        "n_elements": len(elements),
+        "labels": ";".join(e["label"] for e in elements),
+        "markdown": page_to_markdown(elements),
+        "html": page_to_html(elements),
+    }
+    if return_elements:
+        out["elements"] = elements
+    return out
+

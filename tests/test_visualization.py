@@ -67,6 +67,35 @@ def test_structure_shades_distinct():
     assert get_element_shade("doc_title") != get_element_shade("table")
 
 
+def test_cli_structure_subcommand(tmp_path, capsys):
+    from ocr_server import main
+
+    from oar_ocr_ray.fixtures import gen_structure_page
+
+    rng = np.random.default_rng(3)
+    png, w, h, rot, blocks, lines, cells, regions = gen_structure_page(rng)
+    src = tmp_path / "page.png"
+    src.write_bytes(png)
+    out = tmp_path / "layout.png"
+    rc = main(["structure", str(src), "--format", "markdown",
+               "--visualize", str(out)])
+    assert rc == 0
+    md = capsys.readouterr().out
+    # every rendered line's text surfaces in the markdown export
+    recovered = sum(1 for *_, t in lines if t in md)
+    assert recovered >= len(lines) // 2  # table cells render as HTML rows
+    vis = decode_png(out.read_bytes())
+    vis = vis if vis.ndim == 2 else vis[:, :, 0]
+    assert vis.shape[1] % 2 == 0
+
+    rc = main(["structure", str(src), "--format", "json"])
+    assert rc == 0
+    import json as _json
+
+    res = _json.loads(capsys.readouterr().out)
+    assert res["n_elements"] >= 1 and "markdown" in res
+
+
 def test_cli_visualize_flag(tmp_path):
     from ocr_server import main
 

@@ -187,6 +187,14 @@ def main(argv=None) -> int:
                     default="json")
     pp.add_argument("--visualize", metavar="OUT_PNG",
                     help="also write a side-by-side visualization PNG")
+    st = sub.add_parser(
+        "structure",
+        help="PP-StructureV3 page parse of one PNG (OARStructure::predict_image)")
+    st.add_argument("image")
+    st.add_argument("--format", choices=["json", "markdown", "html"],
+                    default="markdown")
+    st.add_argument("--visualize", metavar="OUT_PNG",
+                    help="write a layout visualization PNG (element-class shades)")
     ps = sub.add_parser("serve", help="HTTP server: POST /ocr with PNG body")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8765)
@@ -202,6 +210,30 @@ def main(argv=None) -> int:
             with open(args.visualize, "wb") as f:
                 f.write(visualize_ocr_png(data, result))
         print(format_result(result, args.format))
+        return 0
+    if args.cmd == "structure":
+        from oar_ocr_ray.stages.structure_stage import predict_structure_page
+        from oar_ocr_ray.stubs import classify_orientation, correct_orientation
+
+        with open(args.image, "rb") as f:
+            img = decode_png(f.read())
+        img = img if img.ndim == 2 else img[:, :, 0]
+        res = predict_structure_page(img, return_elements=True)
+        if args.visualize:
+            from oar_ocr_ray.png_codec import encode_png
+            from oar_ocr_ray.visualization import create_structure_visualization
+
+            up = correct_orientation(img, classify_orientation(img))
+            els = [{"box": e["bbox"], "type": e["label"]}
+                   for e in res["elements"]]
+            with open(args.visualize, "wb") as f:
+                f.write(encode_png(create_structure_visualization(up, els)))
+        if args.format == "markdown":
+            print(res["markdown"])
+        elif args.format == "html":
+            print(res["html"])
+        else:
+            print(json.dumps({k: v for k, v in res.items() if k != "html"}))
         return 0
     serve(args.host, args.port)
     return 0
