@@ -91,3 +91,16 @@ def test_http_roundtrip(server):
     with urllib.request.urlopen(
             f"http://127.0.0.1:{server}/health", timeout=10) as r:
         assert json.loads(r.read())["status"] == "ok"
+
+
+def test_http_structure_endpoint(server):
+    from oar_ocr_ray.fixtures import gen_structure_page
+
+    png, *_ = gen_structure_page(np.random.default_rng(5))
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server}/structure", data=png, method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 200
+        res = json.loads(r.read())
+    assert res["n_elements"] >= 1
+    assert "markdown" in res and "html" in res

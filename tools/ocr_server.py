@@ -140,7 +140,7 @@ def make_server(host: str, port: int):
                 self.send_error(404)
 
         def do_POST(self):
-            if self.path != "/ocr":
+            if self.path not in ("/ocr", "/structure"):
                 self.send_error(404)
                 return
             n = int(self.headers.get("Content-Length", 0))
@@ -152,7 +152,16 @@ def make_server(host: str, port: int):
                 self._reply(400, body)
                 return
             try:
-                body = json.dumps(predict_image(data, decoded=img)).encode()
+                if self.path == "/ocr":
+                    result = predict_image(data, decoded=img)
+                else:
+                    from oar_ocr_ray.stages.structure_stage import (
+                        predict_structure_page,
+                    )
+
+                    result = predict_structure_page(
+                        img if img.ndim == 2 else img[:, :, 0])
+                body = json.dumps(result).encode()
                 code = 200
             except Exception:  # pipeline defect -> 500, no internals leaked
                 body = b'{"error":"internal error"}'
