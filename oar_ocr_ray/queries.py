@@ -3003,6 +3003,96 @@ WHERE rn <= (n + 3) // 4
 """
 
 
+def hll_distinct_tokens(sf_dir: str, b: int = 6):
+    """Distinct-token cardinality via a HyperLogLog sketch (Flajolet et al.
+    2007, public) — the mergeable-sketch aggregation pattern: per-batch
+    PARTIAL register arrays (m=2^b maxima), merged by an elementwise max
+    reduce; only m integers ever move per batch, regardless of corpus size
+    (the shape count-distinct takes at 100 TB when exact `unique` would
+    shuffle every token).
+
+    Exact oracle parity: registers are integer bit math on
+    md5_number_lower (bucket = hash >> (64-b); rank = leading zeros of the
+    suffix + 1 via bit_length); the register sum is carried as the EXACT
+    integer S = sum(2^(57-M_j)) so both engines perform the identical
+    single float division for the raw estimate. No small-range correction
+    (this emits the raw estimator; corrections are post-processing on the
+    same registers)."""
+    from ray.data.aggregate import Max
+
+    from .functions.dedup import md5_lower64
+
+    m = 1 << b
+    suffix_bits = 64 - b
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df["text"]).explode().dropna()
+        toks = toks[toks != ""]
+        regs = np.zeros(m, dtype=np.int64)
+        for w in set(toks):  # distinct within batch: registers are maxima
+            hv = md5_lower64(w)
+            bucket = hv >> suffix_bits
+            suffix = hv & ((1 << suffix_bits) - 1)
+            # cap at suffix_bits: an all-zero suffix would otherwise yield
+            # rank 59 and a negative shift in the register sum
+            rank = min(suffix_bits - suffix.bit_length() + 1, suffix_bits)
+            if rank > regs[bucket]:
+                regs[bucket] = rank
+        nz = np.nonzero(regs)[0]
+        return pd.DataFrame({"bucket": nz.astype(np.int64), "rank": regs[nz]})
+
+    ds = _read(sf_dir, "documents", ["text"])
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket").aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()  # m rows max
+    )
+    regs = np.zeros(m, dtype=np.int64)
+    regs[merged["bucket"].to_numpy()] = merged["rank"].to_numpy()
+    # exact integer register sum (arbitrary-precision int here, HUGEINT in
+    # the oracle — it can reach m * 2^58 which overflows int64)
+    s_exact = sum(1 << (suffix_bits - int(r)) for r in regs)
+    # alpha_64 = 0.709 (standard constant for m=64); float(S) is correctly
+    # rounded on both engines, so the one division matches bit-for-bit
+    estimate = round_half_away(
+        0.709 * m * m * float(1 << suffix_bits) / float(s_exact), 6)
+    return pd.DataFrame({
+        "m": np.array([m], dtype=np.int64),
+        "nonzero_registers": np.array([int((regs > 0).sum())], dtype=np.int64),
+        "estimate": np.array([estimate], dtype=np.float64),
+    })
+
+
+# fixed at b=6 (m=64) to mirror the Python default; ranks: leading zeros of
+# the 58-bit suffix + 1, via the binary-string length of the suffix
+HLL_SQL = r"""
+WITH words AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), hashed AS (
+  SELECT md5_number_lower(word) AS hv FROM words WHERE word <> ''
+), ranked AS (
+  SELECT CAST(hv >> 58 AS BIGINT) AS bucket,
+         least(58 - length(ltrim(bin(hv & ((1::UBIGINT << 58) - 1)), '0')) + 1, 58) AS rank
+  FROM hashed
+), regs AS (
+  SELECT g.bucket, COALESCE(mx.rank, 0) AS rank
+  FROM generate_series(0, 63) AS g(bucket)
+  LEFT JOIN (SELECT bucket, max(rank) AS rank FROM ranked GROUP BY bucket) mx
+    USING (bucket)
+), s AS (
+  SELECT sum(CAST(1::UBIGINT << (58 - rank) AS HUGEINT)) AS s_exact,
+         sum(CASE WHEN rank > 0 THEN 1 ELSE 0 END) AS nz
+  FROM regs
+)
+SELECT CAST(64 AS BIGINT) AS m,
+       CAST(nz AS BIGINT) AS nonzero_registers,
+       round(CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(1::BIGINT << 58 AS DOUBLE)
+             / CAST(s_exact AS DOUBLE), 6) AS estimate
+FROM s
+"""
+
+
 def global_shuffle_rank(sf_dir: str, n_shards: int = 16, n_buckets: int = 256):
     """Deterministic global shuffle for training-data ordering: every doc
     gets its position in the md5-permuted corpus order and a round-robin
@@ -3110,6 +3200,7 @@ QUERIES = {
     "unigram_logprob_scores": unigram_logprob_scores,
     "top_quartile_docs_per_source": top_quartile_docs_per_source,
     "global_shuffle_rank": global_shuffle_rank,
+    "hll_distinct_tokens": hll_distinct_tokens,
     "span_roundtrip": span_roundtrip,
     "boilerplate_strip_docs": boilerplate_strip_docs,
     "ann_topk": ann_topk,
@@ -3171,6 +3262,7 @@ ORACLE_SQL = {
     "unigram_logprob_scores": UNIGRAM_LOGPROB_SQL,
     "top_quartile_docs_per_source": TOP_QUARTILE_SQL,
     "global_shuffle_rank": GLOBAL_SHUFFLE_SQL,
+    "hll_distinct_tokens": HLL_SQL,
     "span_roundtrip": SPAN_ROUNDTRIP_SQL,
     "boilerplate_strip_docs": BOILERPLATE_SQL,
     "ann_topk": ANN_TOPK_SQL,
