@@ -2597,19 +2597,25 @@ def decontaminate(sf_dir: str):
     return ds.map_batches(check, batch_format="pandas")
 
 
-DECONTAM_SQL = r"""
+# Shared positional-tokenizer CTE prefix: the SQL mirror of _tokens() for
+# oracles that need token POSITIONS — splits on \s+, drops empty tokens
+# (text edged by non-space whitespace splits to ''), and RENUMBERS so
+# n-grams match Python split()'s contiguous tokens. Single source so a
+# tokenizer parity fix can never land in one oracle but not another.
+_TOKS_CTE = r"""
 WITH raw AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word,
          generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS rawpos
   FROM documents WHERE trim(text) <> ''
 ), toks AS (
-  -- drop empty tokens (text edged by non-space whitespace splits to '')
-  -- and RENUMBER so n-grams match Python split()'s contiguous tokens
   SELECT doc_id, word,
          row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
   FROM raw WHERE word <> ''
-), grams AS (
+)"""
+
+
+DECONTAM_SQL = _TOKS_CTE + r""", grams AS (
   SELECT doc_id,
          word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS gram
   FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
@@ -2638,11 +2644,12 @@ def dup_ngram_spans(sf_dir: str, n: int = 3, n_parts: int = 512):
     span-excision dedup.
 
     Scale shape: explode (gram, doc_id, pos) in map_batches, then ONE
-    keyed shuffle — on crc32(gram) % n_parts, the coarse-partition trick
+    keyed shuffle — on hash(gram) % n_parts, the coarse-partition trick
     (stages/reassemble.py pattern) — and a VECTORIZED in-partition
     nunique filter; never one Python call per distinct gram, no driver
     state at all. Positions are 1-based token indices (= the SQL
-    renumbered row_number)."""
+    renumbered row_number). The registered oracle is the n=3
+    instantiation — calling with another n diverges from it."""
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "pos": pd.Series(dtype="int64"),
                           "gram": pd.Series(dtype="object"),
@@ -2686,17 +2693,8 @@ def dup_ngram_spans(sf_dir: str, n: int = 3, n_parts: int = 512):
             .groupby("part").map_groups(per_part, batch_format="pandas"))
 
 
-DUP_NGRAM_SPANS_SQL = r"""
-WITH raw AS (
-  SELECT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word,
-         generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS rawpos
-  FROM documents WHERE trim(text) <> ''
-), toks AS (
-  SELECT doc_id, word,
-         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
-  FROM raw WHERE word <> ''
-), grams AS (
+# fixed at n=3 (two lead() steps), mirroring dup_ngram_spans' default
+DUP_NGRAM_SPANS_SQL = _TOKS_CTE + r""", grams AS (
   SELECT doc_id, pos,
          word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS gram
   FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
@@ -3003,7 +3001,8 @@ WHERE rn <= (n + 3) // 4
 """
 
 
-def hll_distinct_tokens(sf_dir: str, b: int = 6):
+def hll_distinct_tokens(sf_dir: str):
+    b = 6  # fixed: alpha below and HLL_SQL are the m=64 instantiation
     """Distinct-token cardinality via a HyperLogLog sketch (Flajolet et al.
     2007, public) — the mergeable-sketch aggregation pattern: per-batch
     PARTIAL register arrays (m=2^b maxima), merged by an elementwise max

@@ -22,9 +22,12 @@ import numpy as np
 
 from .png_codec import encode_png
 
+from .fixtures import FILL_VALUE  # patch background: the SAME pixel-text
+# contract the fixture renderer uses (dark < 128), so a visualization fed
+# back through detect_boxes/read_crop_text behaves like a fixture page
+
 BACKGROUND = 255
 BOX_BORDER = 0
-FILL_VALUE = 230  # patch background, matches fixtures.FILL_VALUE contract
 
 # get_element_color analogue: distinct gray shade per element class
 # (reference groups classes into color families; families keep adjacent
@@ -87,47 +90,53 @@ def draw_text_patch(img: np.ndarray, x0: int, y0: int, x1: int, y1: int,
     img[y0:y1, x0:x1] = patch
 
 
+def _side_by_side(page: np.ndarray,
+                  items: list[tuple[list, int, str]]) -> np.ndarray:
+    """Shared canvas builder: original left, each (box, shade, text) item
+    outlined + text-patched on the right. Boxes are clamped to the PAGE
+    frame before the right-half shift so an out-of-bounds box can never
+    bleed onto the original-page panel."""
+    page = page if page.ndim == 2 else page[:, :, 0]
+    h, w = page.shape
+    canvas = np.full((h, w * 2), BACKGROUND, dtype=np.uint8)
+    canvas[:, :w] = page
+    for box, shade, text in items:
+        x0, y0, x1, y1 = (int(v) for v in box)
+        x0, x1 = max(0, x0), min(w, x1)
+        y0, y1 = max(0, y0), min(h, y1)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        draw_rect_outline(canvas, w + x0, y0, w + x1, y1, value=shade)
+        draw_text_patch(canvas, w + x0 + 1, y0 + 1, w + x1 - 1, y1 - 1, text)
+    return canvas
+
+
 def create_ocr_visualization(page: np.ndarray, spans: list[dict]) -> np.ndarray:
     """(h, w) page + spans [{box: [x0,y0,x1,y1], text: str}, ...] ->
     (h, 2w) canvas: original left, white background + outlined boxes with
     decodable text right (visualization.rs:200-217 layout)."""
-    page = page if page.ndim == 2 else page[:, :, 0]
-    h, w = page.shape
-    canvas = np.full((h, w * 2), BACKGROUND, dtype=np.uint8)
-    canvas[:, :w] = page
-    for s in spans:
-        x0, y0, x1, y1 = (int(v) for v in s["box"])
-        draw_rect_outline(canvas, w + x0, y0, w + x1, y1)
-        draw_text_patch(canvas, w + x0 + 1, y0 + 1, w + x1 - 1, y1 - 1,
-                        s.get("text", ""))
-    return canvas
+    return _side_by_side(
+        page, [(s["box"], BOX_BORDER, s.get("text", "")) for s in spans])
 
 
 def create_structure_visualization(page: np.ndarray,
                                    elements: list[dict]) -> np.ndarray:
-    """Structure variant: right side outlines each element in its
-    class shade (get_element_color analogue) with the class name drawn
-    above-left inside the box when it fits."""
-    page = page if page.ndim == 2 else page[:, :, 0]
-    h, w = page.shape
-    canvas = np.full((h, w * 2), BACKGROUND, dtype=np.uint8)
-    canvas[:, :w] = page
-    for el in elements:
-        x0, y0, x1, y1 = (int(v) for v in el["box"])
-        shade = get_element_shade(el.get("type", ""))
-        draw_rect_outline(canvas, w + x0, y0, w + x1, y1, value=shade)
-        draw_text_patch(canvas, w + x0 + 1, y0 + 1, w + x1 - 1, y1 - 1,
-                        str(el.get("type", "")))
-    return canvas
+    """Structure variant: each element outlined in its class shade
+    (get_element_color analogue) with the class name drawn inside."""
+    return _side_by_side(
+        page, [(el["box"], get_element_shade(el.get("type", "")),
+                str(el.get("type", ""))) for el in elements])
 
 
-def visualize_ocr_png(png_bytes: bytes, result: dict) -> bytes:
+def visualize_ocr_png(png_bytes: bytes, result: dict,
+                      decoded: np.ndarray | None = None) -> bytes:
     """predict_image() result -> visualization PNG (the save_results /
-    CLI `--visualize` artifact, domain/structure.rs:558)."""
+    CLI `--visualize` artifact, domain/structure.rs:558). Pass `decoded`
+    to skip the redundant PNG decode when the caller already has it."""
     from .png_codec import decode_png
     from .stubs import classify_orientation, correct_orientation
 
-    img = decode_png(png_bytes)
+    img = decode_png(png_bytes) if decoded is None else decoded
     # spans are reported in the upright frame; visualize that frame
     up = correct_orientation(img, classify_orientation(img))
     return encode_png(create_ocr_visualization(up, result["spans"]))

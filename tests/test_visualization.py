@@ -53,6 +53,9 @@ def test_out_of_bounds_boxes_are_clamped():
              {"box": [5, 5, 5, 5], "text": "degenerate"}]
     vis = create_ocr_visualization(img, spans)
     assert vis.shape == (40, 80)  # no exception, canvas intact
+    # the original-page panel must be untouched: a negative-x box clamps to
+    # the page frame, it never bleeds left of column w
+    assert (vis[:, :40] == img).all()
 
 
 def test_structure_shades_distinct():

@@ -212,12 +212,13 @@ def main(argv=None) -> int:
     if args.cmd == "predict":
         with open(args.image, "rb") as f:
             data = f.read()
-        result = predict_image(data)
+        img = decode_png(data)
+        result = predict_image(data, decoded=img)
         if args.visualize:
             from oar_ocr_ray.visualization import visualize_ocr_png
 
             with open(args.visualize, "wb") as f:
-                f.write(visualize_ocr_png(data, result))
+                f.write(visualize_ocr_png(data, result, decoded=img))
         print(format_result(result, args.format))
         return 0
     if args.cmd == "structure":
