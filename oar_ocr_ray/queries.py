@@ -3092,6 +3092,74 @@ FROM s
 """
 
 
+def bloom_novel_docs(sf_dir: str):
+    """Incremental dedup against a prior corpus via a Bloom filter (Bloom
+    1970, public) — the approximate-membership pattern for "is this new
+    crawl item already in yesterday's corpus?" at scale, where the exact
+    content-hash set is too large to broadcast but the BITSET is not:
+
+      pass 1 (old corpus, doc_id % 10 != 0): k=3 md5 probe positions per
+        doc -> per-batch DISTINCT positions -> driver union (<= m=1024
+        ints — the filter is O(m) regardless of corpus size, the whole
+        point) -> ray.put broadcast;
+      pass 2 (new docs): maybe_duplicate iff ALL k probe bits are set.
+
+    m=1024 at this corpus size gives ~0.7 fill (a deliberately loaded
+    filter so both outcomes occur); production sizes m to the target FP
+    rate. Probes are md5(j + ':' + text), bit-identical in the oracle."""
+    import ray
+
+    from .functions.dedup import md5_lower64
+
+    m, k = 1024, 3
+
+    def probes(text: str) -> list[int]:
+        return [md5_lower64(f"{j}:{text}") % m for j in range(k)]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def old_positions(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["doc_id"] % 10 != 0]
+        pos: set = set()
+        for t in old["text"].fillna(""):
+            pos.update(probes(t))
+        return pd.DataFrame({"pos": sorted(pos)})
+
+    bits = set(
+        ds.map_batches(old_positions, batch_format="pandas").to_pandas()["pos"]
+    )
+    bits_ref = ray.put(bits)
+
+    def check_new(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        bset = _ray.get(bits_ref)
+        new = df[df["doc_id"] % 10 == 0]
+        flag = np.fromiter(
+            (all(p in bset for p in probes(t)) for t in new["text"].fillna("")),
+            dtype=bool, count=len(new))
+        return pd.DataFrame({"doc_id": new["doc_id"].to_numpy(),
+                             "maybe_duplicate": flag})
+
+    return ds.map_batches(check_new, batch_format="pandas")
+
+
+BLOOM_NOVEL_SQL = r"""
+WITH probes AS (
+  SELECT doc_id,
+         md5_number_lower(CAST(j AS VARCHAR) || ':' || COALESCE(text, '')) % 1024
+           AS pos
+  FROM documents CROSS JOIN generate_series(0, 2) AS g(j)
+), old_bits AS (
+  SELECT DISTINCT pos FROM probes WHERE doc_id % 10 <> 0
+)
+SELECT p.doc_id,
+       bool_and(p.pos IN (SELECT pos FROM old_bits)) AS maybe_duplicate
+FROM probes p WHERE p.doc_id % 10 = 0
+GROUP BY p.doc_id
+"""
+
+
 def global_shuffle_rank(sf_dir: str, n_shards: int = 16, n_buckets: int = 256):
     """Deterministic global shuffle for training-data ordering: every doc
     gets its position in the md5-permuted corpus order and a round-robin
@@ -3200,6 +3268,7 @@ QUERIES = {
     "top_quartile_docs_per_source": top_quartile_docs_per_source,
     "global_shuffle_rank": global_shuffle_rank,
     "hll_distinct_tokens": hll_distinct_tokens,
+    "bloom_novel_docs": bloom_novel_docs,
     "span_roundtrip": span_roundtrip,
     "boilerplate_strip_docs": boilerplate_strip_docs,
     "ann_topk": ann_topk,
@@ -3262,6 +3331,7 @@ ORACLE_SQL = {
     "top_quartile_docs_per_source": TOP_QUARTILE_SQL,
     "global_shuffle_rank": GLOBAL_SHUFFLE_SQL,
     "hll_distinct_tokens": HLL_SQL,
+    "bloom_novel_docs": BLOOM_NOVEL_SQL,
     "span_roundtrip": SPAN_ROUNDTRIP_SQL,
     "boilerplate_strip_docs": BOILERPLATE_SQL,
     "ann_topk": ANN_TOPK_SQL,

@@ -81,7 +81,7 @@ def oracle_pairs():
     "dedup_exact", "train_test_split", "regex_scrub", "tfidf_top_terms",
     "decontaminate", "dup_ngram_spans", "source_temperature_sample",
     "semdedup_prune", "unigram_logprob_scores", "top_quartile_docs_per_source",
-    "global_shuffle_rank", "hll_distinct_tokens",
+    "global_shuffle_rank", "hll_distinct_tokens", "bloom_novel_docs",
     "span_roundtrip", "boilerplate_strip_docs", "ann_topk",
     "embedding_label_norms", "distinct_sources",
     "customers_with_highvalue_orders", "customers_without_highvalue_orders",
