@@ -267,3 +267,41 @@ def test_corrupt_media_payload_skipped_not_fatal(ray_session, corpus, tmp_path):
         expect = [s for s in spans if s[2] not in corrupted_refs]
         kept = [(k, t, r) for (k, t, r, _o) in got[d]]
         assert kept == [(k, t, r) for (k, t, r, _o) in expect], f"doc {d}"
+
+
+def test_wiped_media_bucket_skipped_not_fatal(ray_session, corpus, tmp_path):
+    """A media bucket truncated to ZERO rows (partial upload / lost shard —
+    the other blob-loss mode: refs missing entirely rather than payloads
+    corrupt) must likewise degrade to empty-media spans, never abort."""
+    import shutil
+
+    import pyarrow as pa
+    import ray
+
+    media_dir = str(tmp_path / "media_wiped")
+    shutil.copytree(corpus["media_dir"], media_dir)
+    wiped_refs = set()
+    for f in sorted(os.listdir(media_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(media_dir, f)
+        t = pq.read_table(p)
+        if len(t) == 0:
+            continue
+        wiped_refs.update(t["media_ref"].to_pylist())
+        pq.write_table(t.slice(0, 0), p)  # schema kept, zero rows
+        break
+    assert wiped_refs
+
+    ds = build_extract_pipeline(
+        corpus["doc_files"], media_dir, n_parts=16,
+        det_concurrency=1, rec_concurrency=1,
+    )
+    table = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    got = spans_by_doc(table)
+    assert len(got) == N_DOCS
+    golden = spans_by_doc(pq.read_table(corpus["golden_path"]))
+    for d, spans in golden.items():
+        expect = [s for s in spans if s[2] not in wiped_refs]
+        kept = [(k, t, r) for (k, t, r, _o) in got[d]]
+        assert kept == [(k, t, r) for (k, t, r, _o) in expect], f"doc {d}"
