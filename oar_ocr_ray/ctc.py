@@ -149,7 +149,11 @@ def ctc_word_boxes(
     cell_w = width / max(effective_cols, np.finfo(np.float32).eps)
     chars = list(text)
     avg_w = width / max(len(chars), 1)
-    centers = x_min + (col_indices + 0.5) * cell_w
+    # clamp centers into the detection box: column indices at/past
+    # effective_cols (possible when this crop is narrower than the batch
+    # max wh_ratio) would otherwise map beyond x_max and produce INVERTED
+    # boxes (lo > hi) once the neighbors' midpoint clamps meet
+    centers = np.clip(x_min + (col_indices + 0.5) * cell_w, x_min, x_max)
     n = len(col_indices)
     out = np.zeros((n, 4), dtype=np.float32)
     for i in range(n):
