@@ -1,0 +1,365 @@
+"""Minimal pure-numpy baseline JPEG codec (grayscale JFIF).
+
+Companion to `png_codec.py`: the container has no imaging library, so the
+jpeg leg of `stages/multimodal._decode_any` was a declared stub. This
+module implements the ITU-T.81 baseline sequential process for the
+single-component (grayscale) case from the public spec — enough to close
+that gap honestly: Annex K standard Huffman tables, libjpeg's
+quality→quant scaling, DCT-II via an orthonormal matrix product, byte
+stuffing, DC prediction, run-length AC coding.
+
+Scope (documented, verified in tests/test_jpeg_codec.py):
+  - encode: 8-bit grayscale only, baseline, no subsampling, no restarts;
+  - decode: baseline sequential, 8-bit quant tables, 1 component
+    (h=v=1). Color / progressive / 12-bit raise NotImplementedError —
+    the pipeline is grayscale end-to-end, so this is the honest scope.
+
+JPEG is lossy: the pipeline's pixel-text fixture contract stays on PNG;
+this codec serves the multimodal decode surface (thumbnails, features).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants (ITU-T.81 Annex K — public spec tables)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# Annex K.1 luminance quantization table (natural order via zigzag below)
+STD_LUM_QUANT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+
+# Annex K.3: luminance DC — BITS (codes per length 1..16) and HUFFVAL
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+# Annex K.5: luminance AC
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix: fdct = D @ B @ D.T, idct = D.T @ C @ D."""
+    k = np.arange(8)
+    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    D[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return D
+
+
+_D = _dct_matrix()
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    """libjpeg quality scaling (public formula)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (STD_LUM_QUANT * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _build_huffman(bits, vals):
+    """BITS/HUFFVAL -> {symbol: (code, length)} (canonical codes, F.1.2)."""
+    table = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[idx]] = (code, length)
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_decoder(bits, vals):
+    """BITS/HUFFVAL -> {(length, code): symbol}."""
+    enc = _build_huffman(bits, vals)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+DC_ENC, AC_ENC = _build_huffman(DC_BITS, DC_VALS), _build_huffman(AC_BITS, AC_VALS)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Grayscale (H, W) uint8 -> baseline JFIF bytes."""
+    img = np.asarray(img)
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    h, w = img.shape
+    q = _quant_table(quality)
+    q88 = q.reshape(8, 8).astype(np.float64)
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1:h, :]  # edge replicate
+    padded[:, w:] = padded[:, w - 1:w]
+    padded -= 128.0
+
+    # all blocks FDCT'd in one einsum: (n, 8, 8) blocks
+    blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+    coefs = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
+    quant = np.round(coefs / q88).astype(np.int64)
+    zz = quant.reshape(-1, 64)[:, ZIGZAG]
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for row in zz:
+        dc = int(row[0])
+        diff = dc - prev_dc
+        prev_dc = dc
+        cat = _category(diff)
+        code, ln = DC_ENC[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        last_nz = np.nonzero(row[1:])[0]
+        last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+        for i in range(1, last + 1):
+            v = int(row[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = AC_ENC[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = AC_ENC[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if last < 63:
+            code, ln = AC_ENC[0x00]  # EOB
+            bw.write(code, ln)
+    bw.flush()
+
+    def marker(m, payload=b""):
+        return bytes([0xFF, m]) + (
+            (len(payload) + 2).to_bytes(2, "big") + payload if payload else b"")
+
+    out = bytearray()
+    out += bytes([0xFF, 0xD8])  # SOI
+    out += marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += marker(0xDB, bytes([0]) + bytes(int(q[z]) for z in ZIGZAG))
+    out += marker(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                  + bytes([1, 1, 0x11, 0]))
+    out += marker(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += marker(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out += marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += bytes([0xFF, 0xD9])  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0  # pad past end (EOB territory)
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # a real marker (EOI/RST): stop consuming, emit zeros
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _read_symbol(br: _BitReader, dec: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = dec.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (H, W) uint8 grayscale."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    h = w = None
+    comp = None  # (id, qtable)
+    scan_start = None
+    dc_id = ac_id = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        m = data[pos + 1]
+        if m == 0xD9:  # EOI before SOS
+            break
+        seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
+        seg = data[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if m == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq_tq = seg[i]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(seg[i + 1:i + 65], dtype=np.uint8)
+                quant[pq_tq & 0xF] = tbl
+                i += 65
+        elif m == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc_th = seg[i]
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17:i + 17 + n])
+                dec = _build_decoder(bits, vals)
+                (huff_ac if tc_th >> 4 else huff_dc)[tc_th & 0xF] = dec
+                i += 17 + n
+        elif m == 0xC0:
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) baseline supported")
+            if seg[7] != 0x11:
+                raise NotImplementedError("subsampling unsupported")
+            comp = (seg[6], seg[8])
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("non-baseline JPEG process")
+        elif m == 0xDA:
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+            scan_start = pos
+            break
+        # APPn/COM/DRI etc: skipped (DRI unsupported -> no RST emitted by
+        # our encoder; foreign files with restarts hit the marker guard)
+    if h is None or scan_start is None or comp is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    q = quant[comp[1]].reshape(8, 8).astype(np.float64)
+    br = _BitReader(data[scan_start:])
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    zz = np.zeros((bh * bw_, 64), dtype=np.int64)
+    prev_dc = 0
+    for n in range(bh * bw_):
+        cat = _read_symbol(br, huff_dc[dc_id])
+        diff = _extend(br.read(cat), cat) if cat else 0
+        prev_dc += diff
+        zz[n, 0] = prev_dc
+        i = 1
+        while i < 64:
+            sym = _read_symbol(br, huff_ac[ac_id])
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, cat = sym >> 4, sym & 0xF
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[n, i] = _extend(br.read(cat), cat)
+            i += 1
+
+    blocks = np.zeros((bh * bw_, 64), dtype=np.float64)
+    blocks[:, ZIGZAG] = zz
+    blocks = blocks.reshape(-1, 8, 8) * q
+    pix = np.einsum("ji,njk,kl->nil", _D, blocks, _D) + 128.0
+    pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+    img = (pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(bh * 8, bw_ * 8))
+    return img[:h, :w]

@@ -23,12 +23,18 @@ from ..png_codec import decode_png, encode_png
 def _decode_any(payload: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(payload)
-    if fmt in ("jpeg", "jpg", "webp"):
+    if fmt in ("jpeg", "jpg"):
+        # own baseline grayscale decoder (jpeg_codec.py); color/progressive
+        # files raise NotImplementedError from the codec itself
+        from ..jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
+    if fmt == "webp":
         try:
             import PIL.Image  # noqa: F401  (not present in this environment)
         except ImportError:
             raise NotImplementedError(
-                f"{fmt} decode requires an imaging library not present in this "
+                "webp decode requires an imaging library not present in this "
                 "container; plumbing is real, decoder is stubbed"
             )
     raise NotImplementedError(f"unsupported image format: {fmt}")

@@ -177,8 +177,17 @@ def test_multimodal_stages():
     frames = FrameSampler(every=2)(pa.table({"video_id": [7], "payload": [vid]}))
     assert frames["frame_idx"].to_pylist() == [0, 2, 4]
 
-    with pytest.raises(NotImplementedError):
+    # jpeg is now decoded by the own baseline codec (jpeg_codec.py)
+    from oar_ocr_ray.jpeg_codec import encode_jpeg
+
+    jb = encode_jpeg(np.full((40, 60), 128, dtype=np.uint8), 90)
+    out = ImageDecodeResize(max_side=30)(
+        pa.table({"img_id": [1], "payload": [jb], "fmt": ["jpeg"]}))
+    assert out["height"][0].as_py() == 40 and out["width"][0].as_py() == 60
+    with pytest.raises(ValueError):  # garbage jpeg -> decode error
         ImageDecodeResize()(pa.table({"img_id": [1], "payload": [b"xx"], "fmt": ["jpeg"]}))
+    with pytest.raises(NotImplementedError):  # webp stays env-gated
+        ImageDecodeResize()(pa.table({"img_id": [1], "payload": [b"xx"], "fmt": ["webp"]}))
     with pytest.raises(NotImplementedError):
         FrameSampler()(pa.table({"video_id": [1], "payload": [b"not a video"]}))
 

@@ -1,0 +1,86 @@
+"""Pure-numpy baseline JPEG codec: roundtrip properties, spec edges, and
+the multimodal decode wiring that it un-stubs."""
+
+import numpy as np
+import pytest
+
+from oar_ocr_ray.jpeg_codec import _D, _quant_table, decode_jpeg, encode_jpeg
+
+
+def test_dct_matrix_is_orthonormal():
+    assert np.allclose(_D @ _D.T, np.eye(8), atol=1e-12)
+
+
+def test_flat_image_roundtrips_exactly():
+    for v in (0, 1, 127, 128, 254, 255):
+        img = np.full((24, 40), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == img.shape
+        assert (out == img).all(), v
+
+
+def test_non_multiple_of_8_dims_crop_back():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 95))
+    assert out.shape == (37, 53)
+
+
+def test_smooth_image_high_quality_near_lossless():
+    y, x = np.mgrid[0:64, 0:64]
+    img = (96 + 0.5 * x + 0.3 * y).astype(np.uint8)  # gentle gradient
+    out = decode_jpeg(encode_jpeg(img, 95))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 2
+
+
+def test_noise_bounded_error_and_quality_ordering():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    e95 = np.abs(decode_jpeg(encode_jpeg(img, 95)).astype(int) - img).mean()
+    e30 = np.abs(decode_jpeg(encode_jpeg(img, 30)).astype(int) - img).mean()
+    assert e95 < e30  # lossier quality -> larger error
+    assert e95 < 4
+
+
+def test_fixture_page_text_legible_at_q95():
+    """The pixel-text patches survive q95 well enough to decode: row-1
+    values shift by at most a few levels, below read_crop_text's margin
+    only if exact — so assert PIXEL closeness, not text equality (PNG
+    stays the lossless pipeline path; this documents the boundary)."""
+    from oar_ocr_ray.fixtures import _gen_image
+    from oar_ocr_ray.png_codec import decode_png
+
+    png, *_ = _gen_image(np.random.default_rng(4))
+    page = decode_png(png)
+    page = page if page.ndim == 2 else page[:, :, 0]
+    out = decode_jpeg(encode_jpeg(page, 95))
+    err = np.abs(out.astype(int) - page.astype(int))
+    assert err.mean() < 6
+
+def test_quality_scaling_table():
+    from oar_ocr_ray.jpeg_codec import STD_LUM_QUANT
+
+    assert (_quant_table(50) == STD_LUM_QUANT).all()  # scale 100% = Annex K
+    assert (_quant_table(100) == 1).all()  # lossless-ish quant
+    assert (_quant_table(1) >= _quant_table(50)).all()
+
+
+def test_decoder_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    good = encode_jpeg(np.full((16, 16), 99, dtype=np.uint8))
+    with pytest.raises((ValueError, NotImplementedError, IndexError)):
+        decode_jpeg(good[:20])  # cut before SOF/SOS
+
+
+def test_multimodal_decode_any_jpeg_unstubbed():
+    from oar_ocr_ray.stages.multimodal import _decode_any
+
+    img = np.full((20, 30), 77, dtype=np.uint8)
+    out = _decode_any(encode_jpeg(img, 90), "jpeg")
+    assert (out == img).all()
+    out = _decode_any(encode_jpeg(img, 90), "jpg")
+    assert out.shape == (20, 30)
+    with pytest.raises(NotImplementedError):
+        _decode_any(b"\x00", "webp")
