@@ -3,9 +3,11 @@
 Image/audio/video payloads are `binary` columns with metadata columns; each
 transform is an actor-pool `map_batches` stage whose Ray-side plumbing
 (schema, batch size, actor signature, output layout) is real and tested.
-Decoders for formats that need external libs (JPEG, audio codecs, video
-containers) are gated behind import-try and STUBBED with a clearly marked
-NotImplementedError — only PNG (own codec) is decodable in this environment.
+REAL decoders in this environment: PNG (png_codec), baseline grayscale
+JPEG (jpeg_codec), PCM WAV (wav_codec) — all own pure-python/numpy code.
+Formats that genuinely need external libs (webp, compressed audio, video
+containers, PDF) are gated behind import-try and STUBBED with a clearly
+marked NotImplementedError.
 
 Reference analogues: load_image_from_memory (/root/reference/src/utils/image.rs:65),
 resize processors (/root/reference/src/processors/resize_detection.rs:30-240),
@@ -194,4 +196,37 @@ class PdfRasterize:
                 "page_idx": pa.array(page_idx, pa.int32()),
                 "page": pa.array(page_png, pa.binary()),
             }
+        )
+
+
+class AudioFeatures:
+    """Actor: WAV payload rows -> per-clip acoustic features.
+
+    The audio modality's decode+featurize stage — REAL decode (PCM WAV is
+    a lossless container, `wav_codec.decode_wav`, no external lib), with
+    vectorized numpy features: duration, RMS level, zero-crossing rate,
+    peak — the deterministic stand-in for an audio-embedding forward pass
+    with the same actor signature. Compressed formats raise
+    NotImplementedError from the codec (env-gated like webp)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..wav_codec import decode_wav
+
+        durs, rms, zcr, peak, rates = [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            samples, rate = decode_wav(p)
+            x = samples.astype(np.float64).mean(axis=1) / 32768.0  # downmix
+            n = max(len(x), 1)
+            durs.append(len(x) / rate)
+            rms.append(float(np.sqrt((x * x).mean())) if len(x) else 0.0)
+            zcr.append(float((np.diff(np.signbit(x)) != 0).sum() / n))
+            peak.append(float(np.abs(x).max()) if len(x) else 0.0)
+            rates.append(rate)
+        out = batch.drop_columns(["payload"])
+        return (
+            out.append_column("sample_rate", pa.array(rates, pa.int32()))
+            .append_column("duration_s", pa.array(durs, pa.float64()))
+            .append_column("rms", pa.array(rms, pa.float64()))
+            .append_column("zero_crossing_rate", pa.array(zcr, pa.float64()))
+            .append_column("peak", pa.array(peak, pa.float64()))
         )

@@ -84,3 +84,43 @@ def test_multimodal_decode_any_jpeg_unstubbed():
     assert out.shape == (20, 30)
     with pytest.raises(NotImplementedError):
         _decode_any(b"\x00", "webp")
+
+
+# ---------------------------------------------------------------------------
+# WAV codec + audio stage (lossless PCM: exact roundtrip)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_exact():
+    from oar_ocr_ray.wav_codec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(9)
+    mono = rng.integers(-32768, 32767, 1000, dtype=np.int16)
+    s, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and s.shape == (1000, 1) and (s[:, 0] == mono).all()
+    stereo = rng.integers(-32768, 32767, (500, 2), dtype=np.int16)
+    s, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and (s == stereo).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxx")
+
+
+def test_audio_features_stage():
+    import pyarrow as pa
+
+    from oar_ocr_ray.stages.multimodal import AudioFeatures
+    from oar_ocr_ray.wav_codec import encode_wav
+
+    rate = 16000
+    t = np.arange(rate)  # 1 second
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 16000).astype(np.int16)
+    silence = np.zeros(rate // 2, dtype=np.int16)
+    out = AudioFeatures()(pa.table({
+        "clip_id": [1, 2],
+        "payload": [encode_wav(sine, rate), encode_wav(silence, rate)],
+    }))
+    assert out["duration_s"][0].as_py() == pytest.approx(1.0)
+    assert out["duration_s"][1].as_py() == pytest.approx(0.5)
+    # sine RMS = amp/sqrt(2); 440 Hz -> ~880 zero crossings/s
+    assert out["rms"][0].as_py() == pytest.approx(16000 / 32768 / np.sqrt(2), rel=1e-3)
+    assert out["zero_crossing_rate"][0].as_py() == pytest.approx(880 / rate, rel=0.01)
+    assert out["rms"][1].as_py() == 0.0 and out["peak"][1].as_py() == 0.0
