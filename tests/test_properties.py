@@ -270,3 +270,35 @@ def test_asof_join_matches_per_user_bruteforce(ray_session):
     assert (got["purchase_id"].to_numpy() == want["purchase_id"].to_numpy()).all()
     assert (got["click_ts"].to_numpy() == want["click_ts"].astype("datetime64[us]").to_numpy()).all()
     assert (got["gap_us"].to_numpy() == want["gap_us"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (hypothesis): lossless roundtrips exact, lossy bounded
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_property(n, ch, seed):
+    from oar_ocr_ray.wav_codec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32767, (n, min(ch, 2)), dtype=np.int16)
+    out, rate = decode_wav(encode_wav(s, 22050))
+    assert rate == 22050 and (out == s).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 70), st.integers(1, 70), st.integers(0, 2**32 - 1))
+def test_jpeg_roundtrip_bounded_property(h, w, seed):
+    from oar_ocr_ray.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 95))
+    assert out.shape == img.shape
+    # q95 on worst-case noise: per-pixel error stays within the quant
+    # budget (empirically <= 20 levels; catches any bitstream corruption)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 20
