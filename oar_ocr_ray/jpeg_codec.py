@@ -47,9 +47,40 @@ STD_LUM_QUANT = np.array([
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
 
+# Annex K.2 chrominance quantization table
+STD_CHROMA_QUANT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
 # Annex K.3: luminance DC — BITS (codes per length 1..16) and HUFFVAL
 DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_VALS = list(range(12))
+# Annex K.4: chrominance DC
+DCC_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DCC_VALS = list(range(12))
+# Annex K.6: chrominance AC
+ACC_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+ACC_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
 # Annex K.5: luminance AC
 AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 AC_VALS = [
@@ -109,6 +140,7 @@ def _build_decoder(bits, vals):
 
 
 DC_ENC, AC_ENC = _build_huffman(DC_BITS, DC_VALS), _build_huffman(AC_BITS, AC_VALS)
+DCC_ENC, ACC_ENC = _build_huffman(DCC_BITS, DCC_VALS), _build_huffman(ACC_BITS, ACC_VALS)
 
 
 def _category(v: int) -> int:
@@ -138,77 +170,149 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """Grayscale (H, W) uint8 -> baseline JFIF bytes."""
-    img = np.asarray(img)
-    if img.ndim == 3:
-        img = img[:, :, 0]
-    if img.dtype != np.uint8:
-        raise ValueError("encode_jpeg expects uint8")
-    h, w = img.shape
-    q = _quant_table(quality)
-    q88 = q.reshape(8, 8).astype(np.float64)
-
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+def _plane_zigzag(plane: np.ndarray, q88: np.ndarray,
+                  pad_to: tuple[int, int] | None = None) -> np.ndarray:
+    """(H, W) float plane -> (n_blocks, 64) quantized zigzag rows (8-pad —
+    or pad to the given block-multiple dims — by edge replication, FDCT all
+    blocks in one einsum)."""
+    h, w = plane.shape
+    ph, pw = pad_to if pad_to else (-(-h // 8) * 8, -(-w // 8) * 8)
     padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = img
-    padded[h:, :w] = img[h - 1:h, :]  # edge replicate
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1:h, :]
     padded[:, w:] = padded[:, w - 1:w]
     padded -= 128.0
-
-    # all blocks FDCT'd in one einsum: (n, 8, 8) blocks
     blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
               .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
     coefs = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
-    quant = np.round(coefs / q88).astype(np.int64)
-    zz = quant.reshape(-1, 64)[:, ZIGZAG]
+    return np.round(coefs / q88).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+
+
+def _write_block(bw: "_BitWriter", row: np.ndarray, prev_dc: int,
+                 dc_enc: dict, ac_enc: dict) -> int:
+    dc = int(row[0])
+    diff = dc - prev_dc
+    cat = _category(diff)
+    code, ln = dc_enc[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = np.nonzero(row[1:])[0]
+    last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+    for i in range(1, last + 1):
+        v = int(row[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l2 = ac_enc[0xF0]  # ZRL
+            bw.write(c, l2)
+            run -= 16
+        cat = _category(v)
+        c, l2 = ac_enc[(run << 4) | cat]
+        bw.write(c, l2)
+        bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last < 63:
+        c, l2 = ac_enc[0x00]  # EOB
+        bw.write(c, l2)
+    return dc
+
+
+def _marker(m, payload=b""):
+    return bytes([0xFF, m]) + (
+        (len(payload) + 2).to_bytes(2, "big") + payload if payload else b"")
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsample: bool = False) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 -> baseline JFIF bytes.
+
+    Color uses the JFIF full-range BT.601 YCbCr transform with Annex K
+    chroma quant/Huffman tables; 4:4:4 by default, 4:2:0 (2x2 box-mean
+    chroma downsampling) when subsample=True."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    color = img.ndim == 3 and img.shape[2] == 3
+    if img.ndim == 3 and not color:
+        img = img[:, :, 0]
+    h, w = img.shape[:2]
+    ql = _quant_table(quality)
+    ql88 = ql.reshape(8, 8).astype(np.float64)
 
     bw = _BitWriter()
-    prev_dc = 0
-    for row in zz:
-        dc = int(row[0])
-        diff = dc - prev_dc
-        prev_dc = dc
-        cat = _category(diff)
-        code, ln = DC_ENC[cat]
-        bw.write(code, ln)
-        if cat:
-            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-        run = 0
-        last_nz = np.nonzero(row[1:])[0]
-        last = int(last_nz[-1]) + 1 if len(last_nz) else 0
-        for i in range(1, last + 1):
-            v = int(row[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = AC_ENC[0xF0]  # ZRL
-                bw.write(code, ln)
-                run -= 16
-            cat = _category(v)
-            code, ln = AC_ENC[(run << 4) | cat]
-            bw.write(code, ln)
-            bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
-            run = 0
-        if last < 63:
-            code, ln = AC_ENC[0x00]  # EOB
-            bw.write(code, ln)
+    if color:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        qc = np.clip((STD_CHROMA_QUANT
+                      * (5000 // quality if quality < 50 else 200 - quality * 2)
+                      + 50) // 100, 1, 255)
+        qc88 = qc.reshape(8, 8).astype(np.float64)
+        if subsample:
+            # 4:2:0: chroma = 2x2 box mean over an even-padded plane
+            eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+            def down(p):
+                q = np.empty((eh, ew), dtype=np.float64)
+                q[:h, :w] = p
+                q[h:, :w] = p[h - 1:h, :]
+                q[:, w:] = q[:, w - 1:w]
+                return q.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            mcuy, mcux = -(-h // 16), -(-w // 16)
+            zzy = _plane_zigzag(y, ql88, pad_to=(mcuy * 16, mcux * 16))
+            zzcb = _plane_zigzag(down(cb), qc88, pad_to=(mcuy * 8, mcux * 8))
+            zzcr = _plane_zigzag(down(cr), qc88, pad_to=(mcuy * 8, mcux * 8))
+            py = pcb = pcr = 0
+            yw = mcux * 2  # Y blocks per row
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for by in range(2):  # 4 Y blocks, raster within MCU
+                        for bx in range(2):
+                            n = (my * 2 + by) * yw + mx * 2 + bx
+                            py = _write_block(bw, zzy[n], py, DC_ENC, AC_ENC)
+                    n = my * mcux + mx
+                    pcb = _write_block(bw, zzcb[n], pcb, DCC_ENC, ACC_ENC)
+                    pcr = _write_block(bw, zzcr[n], pcr, DCC_ENC, ACC_ENC)
+            y_hv = 0x22
+        else:
+            planes = [(_plane_zigzag(y, ql88), DC_ENC, AC_ENC),
+                      (_plane_zigzag(cb, qc88), DCC_ENC, ACC_ENC),
+                      (_plane_zigzag(cr, qc88), DCC_ENC, ACC_ENC)]
+            prev = [0, 0, 0]
+            for n in range(len(planes[0][0])):  # 4:4:4 MCU: 1 block each
+                for ci, (zz, dce, ace) in enumerate(planes):
+                    prev[ci] = _write_block(bw, zz[n], prev[ci], dce, ace)
+            y_hv = 0x11
+    else:
+        zz = _plane_zigzag(img.astype(np.float64), ql88)
+        prev = 0
+        for n in range(len(zz)):
+            prev = _write_block(bw, zz[n], prev, DC_ENC, AC_ENC)
     bw.flush()
-
-    def marker(m, payload=b""):
-        return bytes([0xFF, m]) + (
-            (len(payload) + 2).to_bytes(2, "big") + payload if payload else b"")
 
     out = bytearray()
     out += bytes([0xFF, 0xD8])  # SOI
-    out += marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += marker(0xDB, bytes([0]) + bytes(int(q[z]) for z in ZIGZAG))
-    out += marker(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-                  + bytes([1, 1, 0x11, 0]))
-    out += marker(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
-    out += marker(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
-    out += marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xDB, bytes([0]) + bytes(int(ql[z]) for z in ZIGZAG))
+    out += _marker(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _marker(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    if color:
+        out += _marker(0xDB, bytes([1]) + bytes(int(qc[z]) for z in ZIGZAG))
+        out += _marker(0xC4, bytes([0x01]) + bytes(DCC_BITS) + bytes(DCC_VALS))
+        out += _marker(0xC4, bytes([0x11]) + bytes(ACC_BITS) + bytes(ACC_VALS))
+        out += _marker(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                       + w.to_bytes(2, "big")
+                       + bytes([3, 1, y_hv, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        out += _marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    else:
+        out += _marker(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                       + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+        out += _marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += bw.out
     out += bytes([0xFF, 0xD9])  # EOI
     return bytes(out)
@@ -266,8 +370,48 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _decode_block(br: _BitReader, dec_dc: dict, dec_ac: dict,
+                  prev_dc: int) -> tuple[np.ndarray, int]:
+    row = np.zeros(64, dtype=np.int64)
+    cat = _read_symbol(br, dec_dc)
+    diff = _extend(br.read(cat), cat) if cat else 0
+    prev_dc += diff
+    row[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = _read_symbol(br, dec_ac)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, cat = sym >> 4, sym & 0xF
+        i += run
+        if i > 63:
+            raise ValueError("AC run past block end")
+        row[i] = _extend(br.read(cat), cat)
+        i += 1
+    return row, prev_dc
+
+
+def _idct_plane(zz: np.ndarray, q88: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    blocks = np.zeros((bh * bw_, 64), dtype=np.float64)
+    blocks[:, ZIGZAG] = zz
+    blocks = blocks.reshape(-1, 8, 8) * q88
+    pix = np.einsum("ji,njk,kl->nil", _D, blocks, _D) + 128.0
+    pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+    return (pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8))
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W) uint8 grayscale."""
+    """Baseline JFIF bytes -> (H, W) uint8 grayscale or (H, W, 3) RGB.
+
+    Handles interleaved baseline scans with arbitrary per-component
+    sampling factors (4:4:4, 4:2:0, 4:2:2, ...) — chroma planes are
+    nearest-neighbor upsampled, JFIF full-range BT.601 back to RGB.
+    Progressive / 12-bit / arithmetic coding / restart intervals raise
+    NotImplementedError."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -275,9 +419,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     h = w = None
-    comp = None  # (id, qtable)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
     scan_start = None
-    dc_id = ac_id = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -313,53 +457,81 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "only single-component (grayscale) baseline supported")
-            if seg[7] != 0x11:
-                raise NotImplementedError("subsampling unsupported")
-            comp = (seg[6], seg[8])
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline JPEG process")
+        elif m == 0xDD:
+            if int.from_bytes(seg[:2], "big") != 0:
+                raise NotImplementedError("restart intervals unsupported")
         elif m == 0xDA:
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+            ns = seg[0]
+            for s in range(ns):
+                cs, tables = seg[1 + 2 * s], seg[2 + 2 * s]
+                ci = next(i for i, c in enumerate(comps) if c[0] == cs)
+                scan.append((ci, tables >> 4, tables & 0xF))
             scan_start = pos
             break
-        # APPn/COM/DRI etc: skipped (DRI unsupported -> no RST emitted by
-        # our encoder; foreign files with restarts hit the marker guard)
-    if h is None or scan_start is None or comp is None:
+        # APPn/COM: skipped
+    if h is None or scan_start is None or not comps or not scan:
         raise ValueError("truncated JPEG (no SOF/SOS)")
 
-    q = quant[comp[1]].reshape(8, 8).astype(np.float64)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     br = _BitReader(data[scan_start:])
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    zz = np.zeros((bh * bw_, 64), dtype=np.int64)
-    prev_dc = 0
-    for n in range(bh * bw_):
-        cat = _read_symbol(br, huff_dc[dc_id])
-        diff = _extend(br.read(cat), cat) if cat else 0
-        prev_dc += diff
-        zz[n, 0] = prev_dc
-        i = 1
-        while i < 64:
-            sym = _read_symbol(br, huff_ac[ac_id])
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                i += 16
-                continue
-            run, cat = sym >> 4, sym & 0xF
-            i += run
-            if i > 63:
-                raise ValueError("AC run past block end")
-            zz[n, i] = _extend(br.read(cat), cat)
-            i += 1
 
-    blocks = np.zeros((bh * bw_, 64), dtype=np.float64)
-    blocks[:, ZIGZAG] = zz
-    blocks = blocks.reshape(-1, 8, 8) * q
-    pix = np.einsum("ji,njk,kl->nil", _D, blocks, _D) + 128.0
-    pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
-    img = (pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
-           .reshape(bh * 8, bw_ * 8))
-    return img[:h, :w]
+    if len(scan) == 1:
+        # non-interleaved scan: MCU = one block, grid = the component's own
+        # block dims (T.81 A.2.2)
+        ci, dct, act = scan[0]
+        _, hs, vs, tq = comps[ci]
+        ch = -(-(h * vs) // (8 * vmax))
+        cw = -(-(w * hs) // (8 * hmax))
+        zz = np.zeros((ch * cw, 64), dtype=np.int64)
+        prev = 0
+        for n in range(ch * cw):
+            zz[n], prev = _decode_block(br, huff_dc[dct], huff_ac[act], prev)
+        planes = {ci: _idct_plane(zz, quant[tq].reshape(8, 8).astype(np.float64),
+                                  ch, cw)}
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        grids = {}
+        for ci, _, _ in scan:
+            _, hs, vs, _ = comps[ci]
+            grids[ci] = np.zeros((mcuy * vs * mcux * hs, 64), dtype=np.int64)
+        prev = {ci: 0 for ci, _, _ in scan}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, dct, act in scan:
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            row, prev[ci] = _decode_block(
+                                br, huff_dc[dct], huff_ac[act], prev[ci])
+                            grids[ci][(my * vs + by) * (mcux * hs)
+                                      + mx * hs + bx] = row
+        planes = {}
+        for ci, _, _ in scan:
+            _, hs, vs, tq = comps[ci]
+            planes[ci] = _idct_plane(
+                grids[ci], quant[tq].reshape(8, 8).astype(np.float64),
+                mcuy * vs, mcux * hs)
+
+    if len(comps) == 1:
+        return planes[0][:h, :w]
+    if len(comps) != 3:
+        raise NotImplementedError(f"{len(comps)}-component JPEG unsupported")
+    # upsample each plane to (h, w) by nearest neighbor, then YCbCr -> RGB
+    full = []
+    for ci, (_, hs, vs, _) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w].astype(np.float64))
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)

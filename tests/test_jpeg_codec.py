@@ -124,3 +124,46 @@ def test_audio_features_stage():
     assert out["rms"][0].as_py() == pytest.approx(16000 / 32768 / np.sqrt(2), rel=1e-3)
     assert out["zero_crossing_rate"][0].as_py() == pytest.approx(880 / rate, rel=0.01)
     assert out["rms"][1].as_py() == 0.0 and out["peak"][1].as_py() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Color (multi-component) JPEG: 4:4:4 and 4:2:0
+# ---------------------------------------------------------------------------
+
+def _smooth_rgb(h=50, w=70):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 2).astype(np.uint8), (y * 3).astype(np.uint8),
+                     (x + y).astype(np.uint8)], axis=2)
+
+
+def test_color_444_roundtrip():
+    img = _smooth_rgb()
+    out = decode_jpeg(encode_jpeg(img, 95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_color_420_roundtrip_and_odd_dims():
+    img = _smooth_rgb()
+    out = decode_jpeg(encode_jpeg(img, 95, subsample=True))
+    assert out.shape == img.shape
+    # chroma is 2x2-averaged: smooth content stays close
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+    rng = np.random.default_rng(3)
+    odd = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(odd, 90, subsample=True))
+    assert out.shape == (33, 41, 3)
+
+
+def test_color_flat_exact():
+    img = np.full((24, 24, 3), [120, 60, 200], dtype=np.uint8)
+    for sub in (False, True):
+        out = decode_jpeg(encode_jpeg(img, 95, subsample=sub))
+        # flat color: DCT is a pure DC term, error only from YCbCr rounding
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2, sub
+
+
+def test_grayscale_path_unchanged_by_color_support():
+    img = np.full((16, 16), 73, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 90))
+    assert out.ndim == 2 and (out == img).all()
