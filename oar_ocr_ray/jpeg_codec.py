@@ -1,4 +1,4 @@
-"""Minimal pure-numpy baseline JPEG codec (grayscale JFIF).
+"""Minimal pure-numpy baseline JPEG codec (grayscale + color JFIF).
 
 Companion to `png_codec.py`: the container has no imaging library, so the
 jpeg leg of `stages/multimodal._decode_any` was a declared stub. This
@@ -9,10 +9,12 @@ quality→quant scaling, DCT-II via an orthonormal matrix product, byte
 stuffing, DC prediction, run-length AC coding.
 
 Scope (documented, verified in tests/test_jpeg_codec.py):
-  - encode: 8-bit grayscale only, baseline, no subsampling, no restarts;
-  - decode: baseline sequential, 8-bit quant tables, 1 component
-    (h=v=1). Color / progressive / 12-bit raise NotImplementedError —
-    the pipeline is grayscale end-to-end, so this is the honest scope.
+  - encode: 8-bit grayscale, and RGB color via JFIF full-range BT.601
+    YCbCr at 4:4:4 or 4:2:0 (box-mean chroma downsampling); no restarts;
+  - decode: baseline sequential, 8-bit quant tables, interleaved scans
+    with arbitrary sampling factors (4:4:4 / 4:2:0 / 4:2:2), 1- or
+    3-component; nearest-neighbor chroma upsampling. Progressive /
+    12-bit / arithmetic / restart intervals raise NotImplementedError.
 
 JPEG is lossy: the pipeline's pixel-text fixture contract stays on PNG;
 this codec serves the multimodal decode surface (thumbnails, features).
