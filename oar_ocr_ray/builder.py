@@ -155,8 +155,10 @@ class OcrPipeline:
     def run(self, doc_files, media_dir: str, out_dir: str, **kw):
         from .pipelines.extract import run_extract
 
-        return run_extract(doc_files, media_dir, out_dir,
-                           n_parts=self.kwargs["n_parts"], **kw)
+        # run() must honor every builder knob exactly like dataset() does:
+        # run_extract forwards unknown kwargs to build_extract_pipeline.
+        merged = {**self.kwargs, "det_max_side": self.det_max_side, **kw}
+        return run_extract(doc_files, media_dir, out_dir, **merged)
 
 
 class StructureBuilder:

@@ -177,7 +177,12 @@ def ivf_parity_fit(nv_sample: np.ndarray, k: int = 8, iters: int = 2) -> np.ndar
         for j in range(len(c)):
             members = nv_sample[assign == j]
             if len(members):
-                c[j] = quantized_unit(members.mean(axis=0)[None, :])[0]
+                # Round the raw mean to 6 decimals BEFORE normalizing so the
+                # numpy pairwise sum and SQL sequential avg land on the same
+                # grid point (last-ulp divergence otherwise cascades through
+                # the normalize→round step at exact tie boundaries).
+                m = round_half_away(members.mean(axis=0), 6)
+                c[j] = quantized_unit(m[None, :])[0]
     return c
 
 

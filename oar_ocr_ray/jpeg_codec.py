@@ -113,11 +113,18 @@ def _dct_matrix() -> np.ndarray:
 _D = _dct_matrix()
 
 
-def _quant_table(quality: int) -> np.ndarray:
-    """libjpeg quality scaling (public formula)."""
+def _quality_scale(quality: int) -> int:
+    """libjpeg quality→scale (public formula), clamped to [1, 100] once so
+    every table (luma AND chroma) shares the same clamped scale."""
     quality = min(max(int(quality), 1), 100)
-    scale = 5000 // quality if quality < 50 else 200 - quality * 2
-    q = (STD_LUM_QUANT * scale + 50) // 100
+    return 5000 // quality if quality < 50 else 200 - quality * 2
+
+
+def _quant_table(quality: int, base: np.ndarray | None = None) -> np.ndarray:
+    """Scale a base quant table (default luma) by the clamped quality."""
+    if base is None:
+        base = STD_LUM_QUANT
+    q = (base * _quality_scale(quality) + 50) // 100
     return np.clip(q, 1, 255)
 
 
@@ -252,9 +259,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-        qc = np.clip((STD_CHROMA_QUANT
-                      * (5000 // quality if quality < 50 else 200 - quality * 2)
-                      + 50) // 100, 1, 255)
+        qc = _quant_table(quality, STD_CHROMA_QUANT)
         qc88 = qc.reshape(8, 8).astype(np.float64)
         if subsample:
             # 4:2:0: chroma = 2x2 box mean over an even-padded plane

@@ -2319,7 +2319,7 @@ WITH ecast AS (
           ORDER BY round(list_dot_product(s.nv, c.c), 6) DESC, c.cid) = 1
 ), m{t} AS (
   SELECT cid, list(mx ORDER BY i) AS m FROM (
-    SELECT cid, i, avg(x) AS mx FROM (
+    SELECT cid, i, round(avg(x), 6) AS mx FROM (
       SELECT cid, unnest(nv) AS x, generate_subscripts(nv, 1) AS i FROM a{t})
     GROUP BY cid, i)
   GROUP BY cid
@@ -3002,7 +3002,6 @@ WHERE rn <= (n + 3) // 4
 
 
 def hll_distinct_tokens(sf_dir: str):
-    b = 6  # fixed: alpha below and HLL_SQL are the m=64 instantiation
     """Distinct-token cardinality via a HyperLogLog sketch (Flajolet et al.
     2007, public) — the mergeable-sketch aggregation pattern: per-batch
     PARTIAL register arrays (m=2^b maxima), merged by an elementwise max
@@ -3016,7 +3015,9 @@ def hll_distinct_tokens(sf_dir: str):
     integer S = sum(2^(57-M_j)) so both engines perform the identical
     single float division for the raw estimate. No small-range correction
     (this emits the raw estimator; corrections are post-processing on the
-    same registers)."""
+    same registers). b is fixed at 6: the alpha constant below and HLL_SQL
+    are the m=64 instantiation."""
+    b = 6
     from ray.data.aggregate import Max
 
     from .functions.dedup import md5_lower64

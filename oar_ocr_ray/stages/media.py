@@ -30,6 +30,7 @@ store key; payloads never enter an all-to-all exchange).
 from __future__ import annotations
 
 import os
+import struct
 import zlib
 from collections import OrderedDict
 
@@ -364,7 +365,7 @@ class MediaDetect:
                     continue
                 try:
                     img = decode_png(payload)[:, :, 0]  # grayscale channel
-                except (ValueError, zlib.error, IndexError):
+                except (ValueError, zlib.error, IndexError, struct.error):
                     # A corrupt blob (truncated upload, bit rot) is as
                     # inevitable as a lost one at 10^12 docs — skip like
                     # missing media, never abort the run.

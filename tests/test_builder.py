@@ -65,3 +65,31 @@ def test_built_structure_pipeline_runs(ray_session, tmp_path):
     df = ds.to_pandas()
     assert len(df) == 8
     assert {"media_ref", "markdown", "html"} <= set(df.columns)
+
+
+def test_run_forwards_every_builder_knob(monkeypatch, tmp_path):
+    """run() must honor the same knobs dataset() does: det/rec concurrency,
+    batch sizes, stage_mode and the preset-derived det_max_side all reach
+    run_extract (which forwards unknown kwargs to build_extract_pipeline)."""
+    import oar_ocr_ray.pipelines.extract as ext
+
+    captured = {}
+
+    def fake_run_extract(doc_files, media_dir, out_dir, **kw):
+        captured.update(kw)
+        return {"shards": 0}
+
+    monkeypatch.setattr(ext, "run_extract", fake_run_extract)
+    pipe = (OcrBuilder().text_type("general").n_parts(5)
+            .det_concurrency(8).rec_concurrency(3)
+            .det_batch_size(17).rec_batch_size(33)
+            .stage_mode("actors").build())
+    pipe.run(["docs.parquet"], "media", str(tmp_path / "out"), n_shards=2)
+    assert captured["n_parts"] == 5
+    assert captured["det_concurrency"] == 8
+    assert captured["rec_concurrency"] == 3
+    assert captured["det_batch_size"] == 17
+    assert captured["rec_batch_size"] == 33
+    assert captured["stage_mode"] == "actors"
+    assert captured["det_max_side"] == pipe.det_max_side
+    assert captured["n_shards"] == 2

@@ -245,7 +245,17 @@ def test_corrupt_media_payload_skipped_not_fatal(ray_session, corpus, tmp_path):
         if len(t) == 0:
             continue
         refs = t["media_ref"].to_pylist()
-        bad = pa.array([b"\x89PNG-corrupt-" + bytes(8) for _ in refs], pa.binary())
+        # three corruption modes, cycled: garbage header (ValueError),
+        # truncation at byte 10 (struct.error in chunk-header parse) and
+        # mid-stream truncation (zlib.error in IDAT inflate)
+        orig = t["png"].to_pylist()
+        modes = [
+            lambda p: b"\x89PNG-corrupt-" + bytes(8),
+            lambda p: p[:10],
+            lambda p: p[: len(p) // 2],
+        ]
+        bad = pa.array(
+            [modes[i % 3](p) for i, p in enumerate(orig)], pa.binary())
         cols = {name: t[name] for name in t.column_names}
         cols["png"] = bad
         pq.write_table(pa.table(cols, schema=t.schema), p)

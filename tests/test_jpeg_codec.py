@@ -167,3 +167,19 @@ def test_grayscale_path_unchanged_by_color_support():
     img = np.full((16, 16), 73, dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(img, 90))
     assert out.ndim == 2 and (out == img).all()
+
+
+def test_out_of_range_quality_clamped_consistently():
+    """quality<=0 / >100 must clamp once for BOTH luma and chroma tables:
+    q=0 used to ZeroDivisionError mid-encode on color images and q=150
+    produced a negative chroma scale (ref: libjpeg clamps to [1,100])."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    for q, q_eq in [(0, 1), (-5, 1), (150, 100), (1000, 100)]:
+        blob = encode_jpeg(img, quality=q)
+        assert blob == encode_jpeg(img, quality=q_eq)
+        out = decode_jpeg(blob)
+        assert out.shape[:2] == (24, 24)
+    # grayscale path too
+    g = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    assert encode_jpeg(g, quality=0) == encode_jpeg(g, quality=1)
