@@ -1288,29 +1288,48 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8):
     """Full near-dup flow: bands -> bucket groupby -> candidate pairs ->
     exact n-gram Jaccard verification.
 
-    Scale shape: NOTHING document-sized touches the driver. Candidate ids
-    (bounded by the duplicate count, not the corpus) are broadcast; the
-    documents stream is filtered to candidates and shingled inside
-    map_batches; the (id -> shingle set) table — again candidate-sized —
-    is broadcast back and each candidate-pair batch verifies vectorized.
+    Scale shape: NOTHING document-sized touches the driver. Candidate
+    generation shuffles on a COARSE partition of the bucket key (one
+    Python call per partition, a vectorized self-merge per bucket inside
+    — never one call per distinct (band, band_hash), which is a
+    corpus-cardinality key; same shape as ngram_jaccard_dup_pairs).
+    Candidate ids (bounded by the duplicate count, not the corpus) are
+    broadcast; the documents stream is filtered to candidates and shingled
+    inside map_batches; the (id -> shingle set) table — again
+    candidate-sized — is broadcast back and each candidate-pair batch
+    verifies vectorized.
     """
     import ray
 
     from .functions.dedup import MinHasher, jaccard, shingle_set
 
-    bands = minhash_bands(sf_dir)
+    n_parts = max(64, int(ray.cluster_resources().get("CPU", 32)) * 2)
+    empty_cand = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                               "doc_b": pd.Series(dtype="int64")})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"]) if out else pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
-        )
+    def add_bpart(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bpart"] = ((df["band_hash"].to_numpy() * np.int64(31)
+                        + df["band"].to_numpy()) % n_parts).astype(np.int32)
+        return df
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized in-partition self-merge on the bucket key; a pair that
+        # collides in several buckets of this partition dedups here, cross-
+        # partition repeats dedup in the candidate-bounded driver step
+        m = g.merge(g, on=["band", "band_hash"])
+        keep = m["doc_id_x"].to_numpy() < m["doc_id_y"].to_numpy()
+        m = m.loc[keep, ["doc_id_x", "doc_id_y"]].drop_duplicates()
+        if len(m) == 0:
+            return empty_cand
+        return m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
     empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                           "doc_b": pd.Series(dtype="int64"),
                           "jaccard": pd.Series(dtype="float64")})
-    cand_ds = bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    cand_ds = (minhash_bands(sf_dir)
+               .map_batches(add_bpart, batch_format="pandas")
+               .groupby("bpart").map_groups(bucket_pairs, batch_format="pandas"))
     # candidate pairs are duplicate-bounded (small); dedup across bands here
     cand = cand_ds.to_pandas().drop_duplicates()
     if len(cand) == 0:
@@ -1508,17 +1527,27 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     """Rows-only: SimHash near-dup pairs end-to-end — signatures + quadrant
     keys in map_batches, candidate pairs from each quadrant bucket (the
     pigeonhole guarantee: Hamming <= 3 pairs share >= 1 of 4 quadrants),
-    exact Hamming verify inside the bucket group. The shuffle key is the
-    narrow (quad, value) column; signatures ride along as int64."""
+    exact Hamming verify inside the bucket group. The shuffle key is a
+    COARSE partition of the narrow (quad, value) bucket key — one Python
+    call per partition with a vectorized self-merge per bucket inside,
+    never one call per distinct quadrant value (same candidate-generation
+    shape as minhash_dup_pairs / ngram_jaccard_dup_pairs); signatures ride
+    along as int64."""
+    import ray
+
     from .functions.dedup import simhash_batch
+
+    n_parts = max(64, int(ray.cluster_resources().get("CPU", 32)) * 2)
 
     def explode_quads(df: pd.DataFrame) -> pd.DataFrame:
         sh = simhash_batch(df)
         frames = []
         for q in range(4):
+            qval = sh[f"quad{q}"].to_numpy()
             frames.append(pd.DataFrame({
                 "doc_id": sh["doc_id"], "simhash": sh["simhash"],
-                "quad": np.int32(q), "qval": sh[f"quad{q}"],
+                "quad": np.int32(q), "qval": qval,
+                "bpart": ((qval.astype(np.int64) * 4 + q) % n_parts).astype(np.int32),
             }))
         return pd.concat(frames, ignore_index=True)
 
@@ -1528,21 +1557,24 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
                               "hamming": pd.Series(dtype="int64")})
         if len(g) < 2:
             return empty
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sig = g["simhash"].to_numpy().astype(np.uint64)
-        iu, ju = np.triu_indices(len(g), k=1)
-        x = sig[iu] ^ sig[ju]
+        m = g.merge(g, on=["quad", "qval"])
+        keep = m["doc_id_x"].to_numpy() < m["doc_id_y"].to_numpy()
+        m = m[keep]
+        if len(m) == 0:
+            return empty
+        x = m["simhash_x"].to_numpy().astype(np.uint64) ^ m["simhash_y"].to_numpy().astype(np.uint64)
         # vectorized popcount via byte-view + unpackbits
         ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
         keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[iu[keep]], "doc_b": ids[ju[keep]],
-                             "hamming": ham[keep].astype(np.int64)})
+        out = pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy()[keep],
+                            "doc_b": m["doc_id_y"].to_numpy()[keep],
+                            "hamming": ham[keep].astype(np.int64)})
+        return out.drop_duplicates(["doc_a", "doc_b"]) if len(out) else empty
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = (
         ds.map_batches(explode_quads, batch_format="pandas")
-        .groupby(["quad", "qval"])
+        .groupby("bpart")
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
     )
