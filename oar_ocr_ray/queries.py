@@ -24,6 +24,7 @@ Scale patterns demonstrated (and used at 100 TB):
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -2485,22 +2486,28 @@ FROM documents
 """
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
+def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
+                    vocab_topk: int | None = None):
     """Per-document top-k TF-IDF terms — the classic keyword-extraction /
     quality-signal step. Two streaming passes:
 
       pass 1 (document frequency): per-batch DISTINCT (doc, term) ->
-        per-term partial counts -> small groupby(term) -> driver-collected
-        vocabulary table (bounded: vocab is pruned at min_df; at web scale
-        the head vocabulary after min_df pruning is broadcastable while the
-        long tail scores 0 anyway) -> ray.put broadcast of {{term: idf}}.
-      pass 2: per-batch per-doc term counts -> vectorized idf lookup ->
-        top-k per doc inside the batch (each doc is one row, so its top-k
-        never crosses a batch boundary) -> no shuffle at all.
+        per-term partial counts -> small groupby(term) -> min_df prune
+        applied IN the dataset (the unpruned corpus-sized vocabulary never
+        lands on the driver; only the post-prune head is collected) ->
+        ray.put broadcast of {term: idf}. `vocab_topk` is the hard 100-TB
+        cap: keep the `vocab_topk` highest-df terms (ties by term ASC) and
+        log the dropped-tail size — never truncate silently.
+      pass 2: per-batch per-doc term counts -> vectorized idf lookup
+        (terms pruned from the vocabulary are OOV and drop out of top-k
+        contention, the inner-join semantics of the oracle) -> top-k per
+        doc inside the batch (each doc is one row, so its top-k never
+        crosses a batch boundary) -> no shuffle at all.
 
     Exact oracle parity: idf = round6(ln(N/df)) (libm double on both
     sides under the 1e-6 grid), score = round6(tf * idf), ties broken by
-    term ASC on both sides."""
+    term ASC on both sides; the SQL dfreq CTE carries the same
+    `HAVING df >= min_df` prune."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -2517,9 +2524,17 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
     dfreq = (
         ds.map_batches(df_partial, batch_format="pandas")
         .groupby("term").aggregate(Sum("df", alias_name="df"))
-        .to_pandas()  # vocabulary-sized (post-prune head vocab)
+        .filter(expr=f"df >= {int(min_df)}")  # prune BEFORE the collect
+        .to_pandas()  # post-prune head vocabulary only
     )
-    dfreq = dfreq[dfreq["df"] >= min_df]
+    if vocab_topk is not None and len(dfreq) > vocab_topk:
+        dfreq = dfreq.sort_values(["df", "term"], ascending=[False, True],
+                                  kind="stable")
+        dropped = len(dfreq) - vocab_topk
+        dfreq = dfreq.head(vocab_topk)
+        logging.getLogger(__name__).warning(
+            "tfidf_top_terms: vocab_topk=%d dropped %d tail terms "
+            "(min df kept: %d)", vocab_topk, dropped, int(dfreq["df"].min()))
     idf = round_half_away(np.log(n_docs / dfreq["df"].to_numpy(dtype=np.float64)), 6)
     idf_ref = ray.put(dict(zip(dfreq["term"], idf)))
 
@@ -2536,9 +2551,12 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
                                  "term": np.array([], dtype="U1"),
                                  "score": np.array([], dtype=np.float64)})
         tf = t.groupby(["doc_id", "term"], sort=False).size().rename("tf").reset_index()
+        idf_col = tf["term"].map(idf_map)
+        tf = tf[idf_col.notna()]  # OOV (min_df/topk-pruned) terms drop out
+        idf_col = idf_col.dropna()
         tf["score"] = round_half_away(
             tf["tf"].to_numpy(dtype=np.float64)
-            * tf["term"].map(idf_map).fillna(0.0).to_numpy(dtype=np.float64), 6)
+            * idf_col.to_numpy(dtype=np.float64), 6)
         tf = tf.sort_values(["doc_id", "score", "term"],
                             ascending=[True, False, True], kind="stable")
         top = tf.groupby("doc_id", sort=False).head(k)
@@ -2560,6 +2578,7 @@ WITH words AS (
 ), dfreq AS (
   SELECT term, count(DISTINCT doc_id) AS df
   FROM words WHERE term <> '' GROUP BY term
+  HAVING count(DISTINCT doc_id) >= 2
 ), n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT tf.doc_id, tf.term,
        round(tf.tf * round(ln(n.n_docs * 1.0 / dfreq.df), 6), 6) AS score
@@ -2862,7 +2881,7 @@ FROM afull f
 """)
 
 
-def unigram_logprob_scores(sf_dir: str):
+def unigram_logprob_scores(sf_dir: str, min_count: int = 2):
     """CCNet-style LM quality scoring with a corpus-trained unigram model:
     per-doc mean token log-probability. Exact-parity trick: log-probs are
     quantized to INTEGER micro-nats (round(ln(count/total)*1e6)), so the
@@ -2870,9 +2889,13 @@ def unigram_logprob_scores(sf_dir: str):
     accumulation order anywhere; the single double division at the end is
     bit-identical.
 
-    Pass 1: per-batch token-count partials -> vocab-sized groupby -> driver
-    table (head vocabulary; at web scale the vocab is min_df-pruned like
-    tfidf_top_terms) -> ray.put broadcast of {word: lpm}.
+    Pass 1: per-batch token-count partials -> vocab-sized groupby; the
+    token TOTAL is a distributed scalar aggregate and the min_count prune
+    is applied IN the dataset, so the unpruned corpus-sized vocabulary
+    never lands on the driver — only the post-prune head is collected and
+    broadcast as {word: lpm}. Pruned (OOV) words score the exact count-1
+    floor lpm_oov = round(ln(1/total)*1e6), mirrored by the oracle's
+    LEFT JOIN + COALESCE.
     Pass 2: vectorized per-doc tf x lpm dot — no shuffle."""
     import ray
     from ray.data.aggregate import Sum
@@ -2884,26 +2907,27 @@ def unigram_logprob_scores(sf_dir: str):
         vc = vc[vc != ""].value_counts()
         return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
 
-    vocab = (
+    vocab_ds = (
         ds.map_batches(count_partial, batch_format="pandas")
         .groupby("word").aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # vocabulary-sized
     )
-    total = int(vocab["n"].sum())
+    total = int(vocab_ds.sum("n"))  # distributed scalar; no vocab collect
+    vocab = vocab_ds.filter(expr=f"n >= {int(min_count)}").to_pandas()
     lpm = round_half_away(
         np.log(vocab["n"].to_numpy(dtype=np.float64) / total) * 1e6, 0
     ).astype(np.int64)
-    lpm_ref = ray.put(dict(zip(vocab["word"], lpm)))
+    lpm_oov = int(round_half_away(np.log(1.0 / total) * 1e6, 0))
+    lpm_ref = ray.put((dict(zip(vocab["word"], lpm)), lpm_oov))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
 
-        lpm_map = _ray.get(lpm_ref)
+        lpm_map, oov = _ray.get(lpm_ref)
         t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "word": _tokens(df["text"])})
         t = t.explode("word").dropna()
         t = t[t["word"] != ""]
         if len(t):
-            t["lpm"] = t["word"].map(lpm_map).astype("int64")
+            t["lpm"] = t["word"].map(lpm_map).fillna(oov).astype("int64")
             agg = t.groupby("doc_id", sort=False).agg(
                 n_tokens=("word", "size"), total_lpm=("lpm", "sum"))
         else:
@@ -2930,14 +2954,20 @@ WITH words AS (
 ), w AS (
   SELECT doc_id, word FROM words WHERE word <> ''
 ), tot AS (SELECT count(*) AS n FROM w),
+oov AS (
+  SELECT CAST(round(ln(1.0 / (SELECT n FROM tot)) * 1000000) AS BIGINT)
+         AS lpm FROM tot
+),
 vocab AS (
   SELECT word,
          CAST(round(ln(count(*) * 1.0 / (SELECT n FROM tot)) * 1000000)
               AS BIGINT) AS lpm
   FROM w GROUP BY word
+  HAVING count(*) >= 2
 ), per_doc AS (
-  SELECT w.doc_id, count(*) AS n_tokens, sum(v.lpm) AS total_lpm
-  FROM w JOIN vocab v USING (word) GROUP BY w.doc_id
+  SELECT w.doc_id, count(*) AS n_tokens,
+         sum(COALESCE(v.lpm, (SELECT lpm FROM oov))) AS total_lpm
+  FROM w LEFT JOIN vocab v USING (word) GROUP BY w.doc_id
 )
 SELECT d.doc_id,
        CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,

@@ -157,6 +157,53 @@ def test_tfidf_and_unigram_ties_and_empty(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_tfidf_and_unigram_vocab_prune(tmp_path):
+    """The min_df / min_count vocabulary bound must actually prune: a
+    hapax term has the LARGEST idf, so at min_df=1 it would dominate
+    top-k — at the default min_df=2 it must vanish from tfidf output
+    (inner-join semantics, both engines), and unigram must score it with
+    the exact count-1 OOV floor rather than its trained logprob. Also
+    exercises the vocab_topk hard cap (no SQL mirror: asserted directly)."""
+    from oar_ocr_ray.queries import (
+        TFIDF_SQL,
+        UNIGRAM_LOGPROB_SQL,
+        tfidf_top_terms,
+        unigram_logprob_scores,
+    )
+
+    rows = {
+        "doc_id": np.arange(4, dtype=np.int64),
+        # 'zzhapax' appears exactly once in the corpus (doc 0); 'x' in all
+        # docs, 'y' in two. min_df=2 must drop zzhapax despite idf=ln(4).
+        "text": ["x y zzhapax", "x y", "x", "x"],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": np.int64(7),
+    }
+    d = write_docs(tmp_path, rows, n_files=2)
+
+    got = tfidf_top_terms(d).to_pandas()
+    assert_equal(got, oracle(d, TFIDF_SQL))
+    assert "zzhapax" not in set(got.term)
+    # unpruned run still surfaces it (falsifies that the default pruned)
+    unpruned = tfidf_top_terms(d, min_df=1).to_pandas()
+    assert "zzhapax" in set(unpruned.term)
+    # hard cap: only the highest-df term ('x', df=4) survives vocab_topk=1
+    capped = tfidf_top_terms(d, min_df=1, vocab_topk=1).to_pandas()
+    assert set(capped.term) == {"x"}
+
+    got = unigram_logprob_scores(d).to_pandas()
+    assert_equal(got, oracle(d, UNIGRAM_LOGPROB_SQL))
+    # doc 0's mean uses the OOV floor ln(1/total) for zzhapax: total=7
+    # tokens (x:4, y:2, zzhapax:1); x: ln(4/7), y: ln(2/7), floor ln(1/7);
+    # mean = (sum of micro-nats)/(3*1e6) rounded to 6 decimals
+    import math
+    exp = round((round(math.log(4 / 7) * 1e6) + round(math.log(2 / 7) * 1e6)
+                 + round(math.log(1 / 7) * 1e6)) / 3e6, 6)
+    assert float(got[got.doc_id == 0].mean_logprob.iloc[0]) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dup_ngram_spans_partition_invariant():
     """The coarse partition key is internal: any n_parts must yield the
     identical span set."""
