@@ -38,6 +38,24 @@ def md5_lower64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:16])[0]
 
 
+def md5_lower64_batch(strs) -> np.ndarray:
+    """``md5_lower64`` over a sequence of strings, returned as a uint64
+    array. The md5 itself is necessarily one C call per string (hashlib),
+    but everything around it is batched: digests concatenate into ONE
+    buffer and the bytes-8..16 little-endian decode is a single
+    ``np.frombuffer`` view (the per-item struct.unpack + int boxing of the
+    scalar path is the dominant Python overhead in hash-heavy stages).
+    Callers with repeated inputs should ``pd.factorize`` first so each
+    DISTINCT string hashes once."""
+    md5 = hashlib.md5
+    buf = b"".join(md5(s.encode()).digest() for s in strs)
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    # each digest is 16 bytes = two little-endian u64 words; lower-64 of
+    # the md5 NUMBER (big-endian 128-bit) is bytes 8..16 = the odd words
+    return np.frombuffer(buf, dtype="<u8")[1::2]
+
+
 def _norm_text(s: pd.Series) -> pd.Series:
     return s.fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
 
@@ -77,9 +95,7 @@ def shingle_hashes_md5(text: str, n: int = 3) -> np.ndarray:
         grams = {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
     if not grams:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(
-        np.fromiter((md5_lower64(g) for g in grams), dtype=np.uint64, count=len(grams))
-    )
+    return np.unique(md5_lower64_batch(grams))
 
 
 class MinHasher:

@@ -109,31 +109,39 @@ class LangId:
         return out
 
 
-def _min_window_md5(text: str, window: int) -> int:
-    """Winnowing-style min over md5_lower64 of every `window`-char substring
-    (whole string when shorter) — each value reproducible in DuckDB as
-    md5_number_lower(substr(txt, i, window))."""
-    from .dedup import md5_lower64
-
-    if len(text) <= window:
-        return md5_lower64(text) >> 1
-    return min(md5_lower64(text[i:i + window]) for i in range(len(text) - window + 1)) >> 1
-
-
 def fingerprint(df: pd.DataFrame, col: str = "text", window: int = 8) -> pd.DataFrame:
     """Document fingerprint: md5_lower64 of the full whitespace-normalized
-    text plus a winnowing-style min over rolling `window`-char md5 hashes —
-    a cheap content fingerprint for near-dup candidate grouping, exactly
-    reproducible by the DuckDB oracle (FINGERPRINTS_SQL)."""
-    from .dedup import md5_lower64
+    text plus a winnowing-style min over rolling `window`-char md5 hashes
+    (whole string when shorter) — a cheap content fingerprint for near-dup
+    candidate grouping, exactly reproducible by the DuckDB oracle
+    (FINGERPRINTS_SQL: md5_number_lower(substr(txt, i, window))).
+
+    Vectorized shape: all rolling windows of the batch flatten into one
+    array, ``pd.factorize`` collapses repeats (8-char windows of natural
+    text are heavily Zipfian) so each DISTINCT window is md5'd once, and
+    the per-doc min is one ``np.minimum.reduceat`` — no per-window Python
+    beyond the required hashlib call per distinct window."""
+    from .dedup import md5_lower64_batch
 
     texts = df[col].fillna("").str.replace(r"\s+", " ", regex=True).str.strip()
-    full = np.fromiter(
-        ((md5_lower64(t) >> 1) for t in texts), dtype=np.int64, count=len(texts)
-    )
-    mins = np.fromiter(
-        (_min_window_md5(t, window) for t in texts), dtype=np.int64, count=len(texts)
-    )
+    full = (md5_lower64_batch(texts) >> np.uint64(1)).astype(np.int64)
+
+    wins: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if len(t) <= window:
+            wins.append(t)
+            counts[i] = 1
+        else:
+            k = len(t) - window + 1
+            wins.extend(t[j:j + window] for j in range(k))
+            counts[i] = k
+    codes, uniq = pd.factorize(np.asarray(wins, dtype=object))
+    hv = (md5_lower64_batch(uniq) >> np.uint64(1)).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    mins = (np.minimum.reduceat(hv[codes], offsets)
+            if len(codes) else np.empty(0, dtype=np.int64))
+
     out = df.copy()
     out["fp_full"] = full
     out["fp_min_shingle"] = mins

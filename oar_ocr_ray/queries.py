@@ -3082,7 +3082,7 @@ def hll_distinct_tokens(sf_dir: str):
     b = 6
     from ray.data.aggregate import Max
 
-    from .functions.dedup import md5_lower64
+    from .functions.dedup import md5_lower64_batch
 
     m = 1 << b
     suffix_bits = 64 - b
@@ -3090,16 +3090,24 @@ def hll_distinct_tokens(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = _tokens(df["text"]).explode().dropna()
         toks = toks[toks != ""]
+        uniq = pd.unique(toks)  # distinct within batch: registers are maxima
+        hv = md5_lower64_batch(uniq)
+        bucket = (hv >> np.uint64(suffix_bits)).astype(np.int64)
+        suffix = (hv & np.uint64((1 << suffix_bits) - 1)).astype(np.int64)
+        # vectorized bit_length: binary clz over int64 (exact — no float
+        # log2, whose 53-bit mantissa mis-rounds near power-of-2 boundaries)
+        bl = np.zeros(len(suffix), dtype=np.int64)
+        x = suffix.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            hi = (x >> s) > 0
+            bl[hi] += s
+            x[hi] >>= s
+        bl += x > 0
+        # cap at suffix_bits: an all-zero suffix would otherwise yield
+        # rank 59 and a negative shift in the register sum
+        rank = np.minimum(suffix_bits - bl + 1, suffix_bits)
         regs = np.zeros(m, dtype=np.int64)
-        for w in set(toks):  # distinct within batch: registers are maxima
-            hv = md5_lower64(w)
-            bucket = hv >> suffix_bits
-            suffix = hv & ((1 << suffix_bits) - 1)
-            # cap at suffix_bits: an all-zero suffix would otherwise yield
-            # rank 59 and a negative shift in the register sum
-            rank = min(suffix_bits - suffix.bit_length() + 1, suffix_bits)
-            if rank > regs[bucket]:
-                regs[bucket] = rank
+        np.maximum.at(regs, bucket, rank)
         nz = np.nonzero(regs)[0]
         return pd.DataFrame({"bucket": nz.astype(np.int64), "rank": regs[nz]})
 
@@ -3161,10 +3169,11 @@ def bloom_novel_docs(sf_dir: str):
     crawl item already in yesterday's corpus?" at scale, where the exact
     content-hash set is too large to broadcast but the BITSET is not:
 
-      pass 1 (old corpus, doc_id % 10 != 0): k=3 md5 probe positions per
-        doc -> per-batch DISTINCT positions -> driver union (<= m=1024
-        ints — the filter is O(m) regardless of corpus size, the whole
-        point) -> ray.put broadcast;
+      pass 1 (old corpus, doc_id % 10 != 0): k=3 batched-md5 probe
+        positions per doc -> per-batch DISTINCT positions -> driver bitset
+        (m bools — the filter is O(m) regardless of corpus size, the whole
+        point) -> ray.put broadcast; probes verify as one vectorized
+        bitset gather, no per-doc Python;
       pass 2 (new docs): maybe_duplicate iff ALL k probe bits are set.
 
     m=1024 at this corpus size gives ~0.7 fill (a deliberately loaded
@@ -3172,25 +3181,30 @@ def bloom_novel_docs(sf_dir: str):
     rate. Probes are md5(j + ':' + text), bit-identical in the oracle."""
     import ray
 
-    from .functions.dedup import md5_lower64
+    from .functions.dedup import md5_lower64_batch
 
     m, k = 1024, 3
 
-    def probes(text: str) -> list[int]:
-        return [md5_lower64(f"{j}:{text}") % m for j in range(k)]
+    def probe_matrix(texts: pd.Series) -> np.ndarray:
+        """(len(texts), k) int64 probe positions, one batched md5 sweep per
+        probe index — no per-doc Python."""
+        texts = texts.fillna("")
+        return np.stack([
+            (md5_lower64_batch(f"{j}:{t}" for t in texts) % np.uint64(m))
+            .astype(np.int64)
+            for j in range(k)
+        ], axis=1) if len(texts) else np.empty((0, k), dtype=np.int64)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def old_positions(df: pd.DataFrame) -> pd.DataFrame:
         old = df[df["doc_id"] % 10 != 0]
-        pos: set = set()
-        for t in old["text"].fillna(""):
-            pos.update(probes(t))
-        return pd.DataFrame({"pos": sorted(pos)})
+        pos = np.unique(probe_matrix(old["text"]))
+        return pd.DataFrame({"pos": pos})
 
-    bits = set(
-        ds.map_batches(old_positions, batch_format="pandas").to_pandas()["pos"]
-    )
+    bits = np.zeros(m, dtype=bool)  # the whole filter is m bits — broadcast
+    bits[ds.map_batches(old_positions, batch_format="pandas")
+           .to_pandas()["pos"].to_numpy()] = True
     bits_ref = ray.put(bits)
 
     def check_new(df: pd.DataFrame) -> pd.DataFrame:
@@ -3198,9 +3212,8 @@ def bloom_novel_docs(sf_dir: str):
 
         bset = _ray.get(bits_ref)
         new = df[df["doc_id"] % 10 == 0]
-        flag = np.fromiter(
-            (all(p in bset for p in probes(t)) for t in new["text"].fillna("")),
-            dtype=bool, count=len(new))
+        pm = probe_matrix(new["text"])
+        flag = bset[pm].all(axis=1) if len(pm) else np.empty(0, dtype=bool)
         return pd.DataFrame({"doc_id": new["doc_id"].to_numpy(),
                              "maybe_duplicate": flag})
 
