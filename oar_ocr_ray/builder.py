@@ -71,6 +71,7 @@ class OcrBuilder:
         self._rec_batch_size = 512
         self._stage_mode = "tasks"
         self._det_max_side = 4000  # DetResizeForTest max_side_limit cap
+        self._rec_model_input = False
 
     def text_type(self, t: str) -> "OcrBuilder":
         if t not in DET_PRESETS:
@@ -114,6 +115,14 @@ class OcrBuilder:
         self._stage_mode = mode
         return self
 
+    def rec_model_input(self, on: bool = True) -> "OcrBuilder":
+        """Route recognition through the model-boundary tensor chain
+        (ocr_resize_and_pad -> normalize_image -> to_batch -> session);
+        the session is a Recognize constructor arg — a real ONNX wrapper
+        drops in without pipeline changes."""
+        self._rec_model_input = on
+        return self
+
     def build(self) -> "OcrPipeline":
         self._preset.validate()
         if self._stage_mode not in ("tasks", "actors"):
@@ -137,6 +146,7 @@ class OcrPipeline:
             det_batch_size=b._det_batch_size,
             rec_batch_size=b._rec_batch_size,
             stage_mode=b._stage_mode,
+            rec_model_input=b._rec_model_input,
         )
         # the resize preset binds to the detect stage's model-boundary cap
         # only for "max" mode (the flagship path); "min" (seal) presets

@@ -12,9 +12,16 @@ real model weights is its mock-adapter pattern
 
 Image encoding contract (consumed by oar_ocr_ray.stubs):
   - white page (255), text lines are solid dark rectangles (fill value 90);
-  - row y0+1 of each rectangle encodes the line text as pixel values:
-    [len][ord(char)...] (ASCII 32..126, all < 128 so the rect stays one
-    dark connected component);
+  - each rectangle encodes the line text as VERTICALLY-CONSTANT pixel
+    columns in CELL_W-wide cells: [len][ord(char)...] (ASCII 32..126, all
+    < 128 so the rect stays one dark connected component). Every row of
+    the rect is identical and every cell is CELL_W px wide, so the
+    encoding survives the recognition model-input preprocess EXACTLY:
+    bilinear resize of equal rows is exact, and a cell center's bilinear
+    neighbours stay inside the (constant) cell for any upscale — the
+    tensor-consuming stub CTC session (stubs.StubCtcSession) decodes the
+    same text from the normalized (3,48,W) tensor that read_crop_text
+    decodes from the raw crop;
   - 10% of images are stored rotated by class*90° CW (class in {1,2,3});
     pixel [0,0] carries the orientation tag: value 10 + class*20;
   - ground-truth `boxes` are in UNROTATED (upright) coordinates.
@@ -84,6 +91,37 @@ FILL_VALUE = 90
 TAG_BASE = 10
 TAG_STEP = 20
 DEFAULT_MEDIA_BUCKETS = 16
+
+# pixel-text cell encoding (see module docstring): each [len]/[char] value
+# occupies a CELL_W-wide constant column band; rows are identical
+CELL_W = 3
+_PATCH_MARGIN = 4  # trailing FILL_VALUE margin inside the rect
+
+
+def patch_width(n_chars: int) -> int:
+    """Rect width the renderer uses for an n-char line — the decoder
+    derives the resize scale from this, so renderer and decoder must
+    share one formula."""
+    return max(CELL_W * (n_chars + 1) + _PATCH_MARGIN, 12)
+
+
+def max_chars_for_width(avail_w: int) -> int:
+    """Longest text whose patch_width fits in avail_w (inverse of
+    patch_width, used by the renderers' truncation)."""
+    return max((avail_w - _PATCH_MARGIN) // CELL_W - 1, 0)
+
+
+def text_patch(text: str, bh: int) -> np.ndarray:
+    """Render the cell-encoded text rect: (bh, patch_width(len)) uint8,
+    every row identical. ascii 32..126 only (renderers guarantee it)."""
+    enc = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+    bw = patch_width(len(enc))
+    row = np.full(bw, FILL_VALUE, dtype=np.uint8)
+    cells = np.repeat(
+        np.concatenate(([np.uint8(len(enc))], enc)).astype(np.uint8), CELL_W
+    )
+    row[: len(cells)] = cells
+    return np.broadcast_to(row, (bh, bw)).copy()
 
 _WORDS = (
     "the quick brown fox jumps over lazy dog data stream shard actor batch "
@@ -165,10 +203,10 @@ def _gen_image(rng: np.random.Generator):
             if len(boxes) >= n_lines:
                 break
             text = _gen_line_text(rng)
-            bw = max(len(text) + 4, 12)
+            bw = patch_width(len(text))
             if x_lo + bw + 2 >= x_hi:
-                text = text[: max(4, x_hi - x_lo - 8)]
-                bw = max(len(text) + 4, 12)
+                text = text[: max(4, max_chars_for_width(x_hi - x_lo - 3))]
+                bw = patch_width(len(text))
                 if x_lo + bw + 2 >= x_hi:
                     continue
             x0 = int(rng.integers(x_lo, x_hi - bw))
@@ -176,12 +214,9 @@ def _gen_image(rng: np.random.Generator):
             y0 = row_y + int(rng.integers(-3, 4))
             if y0 + bh >= h - 4:
                 continue
-            enc = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
-            patch = np.full((bh, bw), FILL_VALUE, dtype=np.uint8)
-            patch[1, 0] = len(enc)
-            patch[1, 1:1 + len(enc)] = enc
+            patch = text_patch(text, bh)
             if rng.random() < 0.1:  # upside-down line: text-line orientation
-                patch = np.rot90(patch, 2)  # classifier must correct it
+                patch = np.rot90(patch, 2).copy()  # classifier must correct it
             img[y0:y0 + bh, x0:x0 + bw] = patch
             boxes.append((x0, y0, x0 + bw, y0 + bh, text))
         row_y += 26
@@ -491,21 +526,18 @@ def _draw_line(img, rng, x_lo, y_lo, x_hi, y_hi, flip_p: float = 0.1):
     if avail_w < 14 or avail_h < 9:
         return None
     text = _gen_line_text(rng)
-    bw = max(len(text) + 4, 12)
+    bw = patch_width(len(text))
     if bw >= avail_w:
-        text = text[: max(4, avail_w - 8)]
-        bw = max(len(text) + 4, 12)
+        text = text[: max(4, max_chars_for_width(avail_w - 1))]
+        bw = patch_width(len(text))
         if bw >= avail_w:
             return None
     bh = int(rng.integers(8, min(13, avail_h + 1)))
     x0 = x_lo + int(rng.integers(0, avail_w - bw))
     y0 = y_lo + int(rng.integers(0, max(avail_h - bh, 0) + 1))
-    enc = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
-    patch = np.full((bh, bw), FILL_VALUE, dtype=np.uint8)
-    patch[1, 0] = len(enc)
-    patch[1, 1:1 + len(enc)] = enc
+    patch = text_patch(text, bh)
     if rng.random() < flip_p:
-        patch = np.rot90(patch, 2)
+        patch = np.rot90(patch, 2).copy()
     img[y0:y0 + bh, x0:x0 + bw] = patch
     return (x0, y0, x0 + bw, y0 + bh, text)
 
@@ -583,12 +615,9 @@ def gen_structure_page(rng: np.random.Generator):
             tex = str(rng.choice(_LATEX_POOL))
             _draw_block(img, 8, y, w - 8, y + bh, "formula")
             blocks.append((8, y, w - 8, y + bh, "formula"))
-            bw = len(tex) + 4
+            bw = patch_width(len(tex))
             fx0 = 12 + int(rng.integers(0, max(w - 24 - bw, 1)))
-            img[y + 4:y + 16, fx0:fx0 + bw] = FILL_VALUE
-            enc = np.frombuffer(tex.encode("ascii"), dtype=np.uint8)
-            img[y + 5, fx0] = len(enc)
-            img[y + 5, fx0 + 1:fx0 + 1 + len(enc)] = enc
+            img[y + 4:y + 16, fx0:fx0 + bw] = text_patch(tex, 12)
             lines.append((fx0, y + 4, fx0 + bw, y + 16, tex))
         elif r < 0.16:
             bh = 18

@@ -44,6 +44,7 @@ def build_extract_pipeline(
     rec_batch_size: int = 512,
     stage_mode: str = "tasks",
     det_max_side: int = 4000,
+    rec_model_input: bool = False,
 ) -> "ray.data.Dataset":
     """Build the lazy Dataset DAG (nothing executes until consumed).
 
@@ -73,6 +74,7 @@ def build_extract_pipeline(
         )
         ds = ds.map_batches(
             Recognize,
+            fn_constructor_kwargs={"model_input": rec_model_input},
             batch_format="pyarrow",
             batch_size=rec_batch_size,
             concurrency=rec_concurrency,
@@ -91,7 +93,7 @@ def build_extract_pipeline(
             batch_size=det_batch_size,
         )
         ds = ds.map_batches(
-            cached_stage(Recognize),
+            cached_stage(Recognize, model_input=rec_model_input),
             batch_format="pyarrow",
             batch_size=rec_batch_size,
         )

@@ -496,11 +496,46 @@ class Recognize:
     max_wh_ratio scales the effective column count exactly like the
     reference's padded recognition tensors (crnn.rs:70-77), and boxes are
     emitted in detection-box coordinates as a `word_boxes` list column.
+
+    model_input=True routes every crop through the REAL model-boundary
+    preprocess chain (crnn.rs:61-118): ocr_resize_and_pad to the batch
+    max_wh_ratio tensor width -> normalize_image -> to_batch, then feeds
+    the (B, 3, 48, W) float32 tensor to `rec_session` (constructor arg; a
+    production build passes an onnxruntime wrapper, default is the
+    tensor-decoding StubCtcSession). Items the session reads as empty are
+    retried once with the crop rotated 180° — the fused text-line
+    orientation policy of the pixel path, expressed as a second session
+    call on the flipped sub-batch.
     """
 
-    def __init__(self, drop_empty: bool = True, emit_word_boxes: bool = False):
+    def __init__(self, drop_empty: bool = True, emit_word_boxes: bool = False,
+                 model_input: bool = False, rec_session=None,
+                 rec_target_h: int = 48):
         self.drop_empty = drop_empty
         self.emit_word_boxes = emit_word_boxes
+        self.model_input = model_input
+        self.rec_target_h = rec_target_h
+        if model_input and rec_session is None:
+            from ..stubs import StubCtcSession
+
+            rec_session = StubCtcSession()  # once per actor, like a session
+        self.rec_session = rec_session
+
+    def _session_logits(self, arrs: list[np.ndarray], max_wh: float) -> list[np.ndarray]:
+        """Preprocess chain + one session call over a list of crops;
+        returns per-item (T_i, C) logits (uniform (B, T, C) ndarrays from
+        real sessions are split into rows)."""
+        from ..preprocess import normalize_image, ocr_resize_and_pad, to_batch
+
+        imgs = []
+        for a in arrs:
+            padded, _ = ocr_resize_and_pad(
+                a, target_h=self.rec_target_h, max_wh_ratio=max_wh)
+            imgs.append(normalize_image(padded))
+        logits = self.rec_session(to_batch(imgs))
+        if isinstance(logits, np.ndarray):
+            logits = [logits[i] for i in range(logits.shape[0])]
+        return logits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         has_crop = pc.is_valid(batch["crop"])
@@ -533,18 +568,41 @@ class Recognize:
             by0 = crops["by0"].to_numpy(zero_copy_only=False)
             bx1 = crops["bx1"].to_numpy(zero_copy_only=False)
             by1 = crops["by1"].to_numpy(zero_copy_only=False)
-        for j in order:  # batch processed in wh-ratio order
-            arr = np.frombuffer(blobs[j], dtype=np.uint8).reshape(hs[j], ws[j])
-            # text-line orientation stage (PP-LCNet 0/180 classes,
-            # text_line_orientation_adapter.rs), fused with the read:
-            # classify_line_orientation is "decodes upright?"; a failed
-            # upright read + successful half-turn read IS the 180 class,
-            # so one read doubles as classifier and recognizer input.
-            raw = read_crop_text(arr)
-            if not raw:
-                flipped = np.ascontiguousarray(np.rot90(arr, 2))
-                raw = read_crop_text(flipped)
-            logits = encode_ctc_logits(raw)
+        order_list = [int(j) for j in order]
+        arrs = {
+            j: np.frombuffer(blobs[j], dtype=np.uint8).reshape(hs[j], ws[j])
+            for j in order_list
+        }
+        logits_by_j: dict[int, np.ndarray] = {}
+        if self.model_input:
+            # model-boundary path: one preprocess chain + session call for
+            # the wh-sorted batch; empty decodes retry once flipped (the
+            # 0/180 text-line orientation policy as a second session call)
+            lg = self._session_logits([arrs[j] for j in order_list], max_wh)
+            logits_by_j = dict(zip(order_list, lg))
+            retry = [j for j in order_list
+                     if not ctc_greedy_decode(logits_by_j[j])[0]]
+            if retry:
+                lg2 = self._session_logits(
+                    [np.ascontiguousarray(np.rot90(arrs[j], 2)) for j in retry],
+                    max_wh)
+                for j, l2 in zip(retry, lg2):
+                    if ctc_greedy_decode(l2)[0]:
+                        logits_by_j[j] = l2
+        else:
+            for j in order_list:
+                # text-line orientation stage (PP-LCNet 0/180 classes,
+                # text_line_orientation_adapter.rs), fused with the read:
+                # classify_line_orientation is "decodes upright?"; a failed
+                # upright read + successful half-turn read IS the 180 class,
+                # so one read doubles as classifier and recognizer input.
+                raw = read_crop_text(arrs[j])
+                if not raw:
+                    flipped = np.ascontiguousarray(np.rot90(arrs[j], 2))
+                    raw = read_crop_text(flipped)
+                logits_by_j[j] = encode_ctc_logits(raw)
+        for j in order_list:  # batch processed in wh-ratio order
+            logits = logits_by_j[j]
             text, conf, cols = ctc_greedy_decode(logits)
             texts[j] = text  # scatter back by original index (ocr.rs:797)
             confs[j] = conf

