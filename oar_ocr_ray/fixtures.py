@@ -123,6 +123,37 @@ def text_patch(text: str, bh: int) -> np.ndarray:
     row[: len(cells)] = cells
     return np.broadcast_to(row, (bh, bw)).copy()
 
+
+# skewed-line protocol: small-angle rotated lines carry WIDER cells framed
+# by two anchor cells of SKEW_ANCHOR (127: dark, not a valid char or len,
+# never used elsewhere). The two measured anchor centers recover position
+# AND scale exactly at any upscale/rotation residual, and 5-px cells keep a
+# center sample's bilinear support (radius <= 2 after a render-rotate +
+# unrotate round trip) inside the constant cell — so the decode stays
+# EXACT through detect-crop -> ImageRotation unrotate -> (optional)
+# model-input resize.
+SKEW_ANCHOR = 127
+SKEW_CELL_W = 5
+SKEW_ANCHOR_W = 7
+
+
+def skew_patch_width(n_chars: int) -> int:
+    return 2 * SKEW_ANCHOR_W + SKEW_CELL_W * (n_chars + 1) + 2
+
+
+def skew_text_patch(text: str, bh: int) -> np.ndarray:
+    """Anchor-framed cell patch for skewed rendering:
+    [anchor 7px@127][len 5px][char 5px...][anchor 7px@127][2px FILL]."""
+    enc = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+    row = np.full(skew_patch_width(len(enc)), FILL_VALUE, dtype=np.uint8)
+    row[:SKEW_ANCHOR_W] = SKEW_ANCHOR
+    cells = np.repeat(
+        np.concatenate(([np.uint8(len(enc))], enc)).astype(np.uint8), SKEW_CELL_W
+    )
+    row[SKEW_ANCHOR_W:SKEW_ANCHOR_W + len(cells)] = cells
+    row[SKEW_ANCHOR_W + len(cells):SKEW_ANCHOR_W + len(cells) + SKEW_ANCHOR_W] = SKEW_ANCHOR
+    return np.broadcast_to(row, (bh, len(row))).copy()
+
 _WORDS = (
     "the quick brown fox jumps over lazy dog data stream shard actor batch "
     "arrow block table span media layout page line text region detect crop "
@@ -187,6 +218,42 @@ def _gen_line_text(rng: np.random.Generator) -> str:
     return s if s else "x"
 
 
+def _draw_skewed_line(img, rng, text, x_lo, x_hi, row_y, h):
+    """Place one small-angle rotated line (the ImageRotationProcessor
+    workload, reference processors.rs:130-182): anchor-framed patch,
+    bilinear white-fill rotation, ground-truth box = dark-core bbox.
+    Returns (x0, y0, x1, y1, text) or None when it doesn't fit."""
+    from .rectify import rotate_about_center
+
+    text = text[:12]
+    if len(text) < 1:
+        return None
+    bw0 = skew_patch_width(len(text))
+    bh0 = int(rng.integers(10, 15))
+    # keep one scanline >= 2 rows inside the slanted band at every x
+    max_sin = (bh0 - 5) / bw0
+    theta = float(rng.uniform(0.8, 3.5))
+    theta = min(theta, float(np.degrees(np.arcsin(max_sin))))
+    if rng.random() < 0.5:
+        theta = -theta
+    pad = int(np.ceil(bw0 * abs(np.sin(np.deg2rad(theta))))) + 3
+    canvas = np.full((bh0 + 2 * pad, bw0 + 2 * pad), 255, dtype=np.uint8)
+    canvas[pad:pad + bh0, pad:pad + bw0] = skew_text_patch(text, bh0)
+    rot = rotate_about_center(canvas, theta, fill=255)
+    ys, xs = np.nonzero(rot < 128)
+    core = rot[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+    ch, cw = core.shape
+    if x_lo + cw + 2 >= x_hi:
+        return None
+    x0 = int(rng.integers(x_lo, x_hi - cw))
+    y0 = row_y + int(rng.integers(-3, 2))
+    if y0 < 1 or y0 + ch >= h - 4:
+        return None
+    region = img[y0:y0 + ch, x0:x0 + cw]
+    img[y0:y0 + ch, x0:x0 + cw] = np.minimum(region, core)
+    return (x0, y0, x0 + cw, y0 + ch, text)
+
+
 def _gen_image(rng: np.random.Generator):
     """Render one synthetic page. Returns (png_bytes, w, h, rot, boxes)
     where boxes = [(x0, y0, x1, y1, text), ...] in upright coords."""
@@ -203,6 +270,12 @@ def _gen_image(rng: np.random.Generator):
             if len(boxes) >= n_lines:
                 break
             text = _gen_line_text(rng)
+            if rng.random() < 0.08:
+                placed = _draw_skewed_line(img, rng, text, x_lo, x_hi, row_y, h)
+                if placed is not None:
+                    boxes.append(placed)
+                    continue
+                # didn't fit at an angle: fall through to a straight line
             bw = patch_width(len(text))
             if x_lo + bw + 2 >= x_hi:
                 text = text[: max(4, max_chars_for_width(x_hi - x_lo - 3))]

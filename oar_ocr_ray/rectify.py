@@ -48,6 +48,53 @@ def grid_sample_bilinear(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
     return out[..., 0] if gray else out
 
 
+def grid_sample_bilinear_fill(img: np.ndarray, grid: np.ndarray,
+                              fill: float = 255.0) -> np.ndarray:
+    """grid_sample_bilinear with a constant out-of-bounds FILL instead of
+    edge clamping (imageproc's rotate_about_center samples this way: the
+    reference passes a white Rgb fill, processors.rs:155-166)."""
+    g = np.asarray(grid, dtype=np.float64)
+    sx = g[..., 0].ravel()
+    sy = g[..., 1].ravel()
+    gray = img.ndim == 2
+    src = img[..., None] if gray else img
+    hh, ww = src.shape[:2]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0)[:, None]
+    fy = (sy - y0)[:, None]
+
+    def tap(yy, xx):
+        inb = (yy >= 0) & (yy < hh) & (xx >= 0) & (xx < ww)
+        vals = np.full((len(xx), src.shape[2]), float(fill))
+        vals[inb] = src[yy[inb], xx[inb]].astype(np.float64)
+        return vals
+
+    out = (tap(y0, x0) * (1 - fx) * (1 - fy) + tap(y0, x0 + 1) * fx * (1 - fy)
+           + tap(y0 + 1, x0) * (1 - fx) * fy + tap(y0 + 1, x0 + 1) * fx * fy)
+    out = out.reshape(g.shape[0], g.shape[1], src.shape[2])
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[..., 0] if gray else out
+
+
+def rotate_about_center(img: np.ndarray, angle_deg: float,
+                        fill: float = 255.0) -> np.ndarray:
+    """ImageRotationProcessor's rotate (reference processors.rs:130-182):
+    rotate the image about its center by `angle_deg` (positive =
+    counter-clockwise in image coords, matching imageproc's
+    rotate_about_center with theta = -angle.to_radians() at the call
+    site), bilinear interpolation, constant `fill` (white) background,
+    SAME output dimensions as the input (corners crop / fill)."""
+    h, w = img.shape[:2]
+    t = np.deg2rad(angle_deg)
+    c, s = np.cos(t), np.sin(t)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys, xs = np.meshgrid(np.arange(h) - cy, np.arange(w) - cx, indexing="ij")
+    # inverse map: rotate output coords by -angle to find source coords
+    grid = np.stack([xs * c - ys * s + cx, xs * s + ys * c + cy], axis=-1)
+    return grid_sample_bilinear_fill(img, grid, fill=fill)
+
+
 def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """cv2.INTER_LINEAR-style resize via the same grid sampler (the
     reference resizes with FilterType::Triangle on both legs)."""

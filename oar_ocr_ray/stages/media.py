@@ -521,6 +521,22 @@ class Recognize:
             rec_session = StubCtcSession()  # once per actor, like a session
         self.rec_session = rec_session
 
+    @staticmethod
+    def _maybe_unrotate(arr: np.ndarray) -> np.ndarray:
+        """ImageRotationProcessor (reference processors.rs:130-182): when
+        the estimated text-line angle exceeds the reference's 0.1° gate,
+        unrotate the crop about its center with bilinear interpolation and
+        white fill before recognition. Runs ahead of BOTH the pixel read
+        and the model-input preprocess chain (the reference chains
+        TextCropping -> ImageRotation -> recognition)."""
+        from ..rectify import rotate_about_center
+        from ..stubs import estimate_skew_angle
+
+        ang = estimate_skew_angle(arr)
+        if abs(ang) > 0.1:
+            return rotate_about_center(arr, ang, fill=255)
+        return arr
+
     def _session_logits(self, arrs: list[np.ndarray], max_wh: float) -> list[np.ndarray]:
         """Preprocess chain + one session call over a list of crops;
         returns per-item (T_i, C) logits (uniform (B, T, C) ndarrays from
@@ -570,7 +586,8 @@ class Recognize:
             by1 = crops["by1"].to_numpy(zero_copy_only=False)
         order_list = [int(j) for j in order]
         arrs = {
-            j: np.frombuffer(blobs[j], dtype=np.uint8).reshape(hs[j], ws[j])
+            j: self._maybe_unrotate(
+                np.frombuffer(blobs[j], dtype=np.uint8).reshape(hs[j], ws[j]))
             for j in order_list
         }
         logits_by_j: dict[int, np.ndarray] = {}

@@ -133,6 +133,8 @@ def read_crop_text(crop: np.ndarray) -> str:
     if h < 2 or w < 2:
         return ""
     row = gray[h // 2]
+    if (row == 127).any():  # SKEW_ANCHOR: anchor-framed skewed-line protocol
+        return _read_skew_row(row)
     nz = np.nonzero(row)[0]
     if len(nz) == 0:
         return ""
@@ -155,6 +157,68 @@ def read_crop_text(crop: np.ndarray) -> str:
     if ((vals < 32) | (vals > 126)).any():
         return ""
     return bytes(vals.tolist()).decode("ascii")
+
+
+def _read_skew_row(row: np.ndarray) -> str:
+    """Decode the anchor-framed skewed-line protocol from one scanline
+    (fixtures.skew_text_patch): the two measured SKEW_ANCHOR run centers
+    give position and scale exactly; cells sample at mapped centers. Works
+    at any upscale (model-input resize) and after the ImageRotation
+    unrotate, because the patch columns are vertically constant and 5-px
+    cells keep the <=2-px bilinear support inside the cell."""
+    from .fixtures import SKEW_ANCHOR_W, SKEW_CELL_W
+
+    anchors = np.nonzero(row == 127)[0]
+    if len(anchors) < 2:
+        return ""
+    gaps = np.nonzero(np.diff(anchors) > 1)[0]
+    if len(gaps) == 0:
+        return ""
+    run1 = anchors[: gaps[0] + 1]
+    run2 = anchors[gaps[-1] + 1:]
+    c1 = (run1[0] + run1[-1]) / 2.0
+    c2 = (run2[0] + run2[-1]) / 2.0
+    if c2 <= c1 + SKEW_ANCHOR_W:
+        return ""
+    half = (SKEW_CELL_W - 1) / 2.0
+    a_c = (SKEW_ANCHOR_W - 1) / 2.0
+    len_off = SKEW_ANCHOR_W + half - a_c  # len-cell center offset from c1
+    for n in range(1, 32):
+        d_src = SKEW_ANCHOR_W + SKEW_CELL_W * (n + 1)  # anchor-center gap
+        s = (c2 - c1) / d_src
+        p = int(round(c1 + len_off * s))
+        if not (0 <= p < len(row)) or row[p] != n:
+            continue
+        xs = np.rint(
+            c1 + (len_off + SKEW_CELL_W * np.arange(1, n + 1)) * s
+        ).astype(np.int64)
+        if xs[-1] >= len(row):
+            continue
+        vals = row[xs]
+        if ((vals >= 32) & (vals <= 126)).all():
+            return bytes(vals.tolist()).decode("ascii")
+    return ""
+
+
+def estimate_skew_angle(crop: np.ndarray) -> float:
+    """Stand-in for the text-line angle the reference feeds
+    ImageRotationProcessor (processors.rs:130-182; a real build reads it
+    from the detector's min-area rects): principal-axis angle of the dark
+    (<128) mask via second central moments, in degrees, (-45, 45]. Exactly
+    0.0 for an axis-aligned solid rect (symmetric moments), so unskewed
+    crops never cross the reference's |angle| > 0.1 rotation gate."""
+    gray = crop if crop.ndim == 2 else crop[:, :, 0]
+    ys, xs = np.nonzero(gray < 128)
+    if len(xs) < 8:
+        return 0.0
+    x = xs - xs.mean()
+    y = ys - ys.mean()
+    mu11 = float((x * y).mean())
+    mu20 = float((x * x).mean())
+    mu02 = float((y * y).mean())
+    if mu20 <= mu02:  # not a wide line: don't guess
+        return 0.0
+    return float(np.degrees(0.5 * np.arctan2(2.0 * mu11, mu20 - mu02)))
 
 
 class StubCtcSession:
