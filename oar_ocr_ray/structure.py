@@ -553,6 +553,7 @@ def stitch_page_enhanced(
     orphan_table_ioa: float = 0.3,
     table_html: list | None = None,
     region_boxes: np.ndarray | None = None,
+    formulas: list[dict] | None = None,
 ) -> list[dict]:
     """Per-page stitch with the ENHANCED reading order (the PP-StructureV3
     flow, structure.rs:2271-2468 + layout_sorting.rs): same dedup / match /
@@ -615,6 +616,10 @@ def stitch_page_enhanced(
 
     if not elements:
         return []
+    if formulas:
+        # separate formula-recognition stream: best-IoU>0.5 latex fill
+        # (stitching.rs:232-251), before ordering like the reference
+        fill_formula_content(elements, formulas)
     all_boxes = np.array([e["bbox"] for e in elements])
     all_labels = [e["label"] for e in elements]
     rb = (np.atleast_2d(np.asarray(region_boxes, dtype=np.float64)).reshape(-1, 4)
@@ -629,6 +634,29 @@ def stitch_page_enhanced(
         e["order_index"] = rank
         ordered.append(e)
     return ordered
+
+
+def fill_formula_content(elements: list[dict], formulas: list[dict]) -> None:
+    """Fill formula layout elements from a SEPARATE formula-result stream
+    (reference stitching.rs:232-251 fill_formula_content): for every
+    element whose label is a formula type, take the formula result with
+    the highest IoU among those with IoU > 0.5 and set element['text'] to
+    its (normalized) latex. Elements without a qualifying match keep their
+    existing text. In-place, vectorized (one IoU matrix)."""
+    from .formula import normalize_latex
+    from .geometry import iou_matrix
+
+    idxs = [i for i, e in enumerate(elements)
+            if e.get("label") in ("formula", "formula_number")]
+    if not idxs or not formulas:
+        return
+    eb = np.asarray([elements[i]["bbox"] for i in idxs], dtype=np.float64)
+    fb = np.asarray([f["bbox"] for f in formulas], dtype=np.float64)
+    iou = iou_matrix(eb, fb)  # (n_formula_elements, n_results)
+    best = iou.argmax(axis=1)
+    for k, i in enumerate(idxs):
+        if iou[k, best[k]] > 0.5:
+            elements[i]["text"] = normalize_latex(str(formulas[best[k]]["latex"]))
 
 
 def compute_table_htmls(lb, labels, cells, ob, texts):

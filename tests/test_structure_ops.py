@@ -346,3 +346,32 @@ def test_detect_seal_text_empty_inputs():
 
     assert detect_seal_text(img, np.zeros((0, 4)), det).shape == (0, 4, 2)
     assert detect_seal_text(img, np.array([[5.0, 5.0, 25.0, 25.0]]), det).shape == (0, 4, 2)
+
+
+def test_fill_formula_content_best_iou_over_half():
+    """stitching.rs:232-251 fill_formula_content semantics: formula-type
+    elements take the latex of the BEST-IoU formula result among those
+    with IoU > 0.5; at/below 0.5 nothing fills; non-formula elements are
+    never touched; latex lands normalized."""
+    from oar_ocr_ray.structure import fill_formula_content
+
+    elements = [
+        {"bbox": [0, 0, 100, 20], "label": "formula", "text": "old"},
+        {"bbox": [0, 40, 100, 60], "label": "text", "text": "keep"},
+        {"bbox": [0, 80, 100, 100], "label": "formula_number", "text": ""},
+        {"bbox": [0, 120, 100, 140], "label": "formula", "text": "stale"},
+    ]
+    formulas = [
+        # IoU with element 0 = 50/150 = 1/3 (<= 0.5): must NOT fill
+        {"bbox": [0, 0, 50, 20], "latex": "x"},
+        # two candidates over element 2: IoU 0.8 beats IoU 0.6 overlap
+        {"bbox": [0, 80, 80, 100], "latex": "\\frac{a}{b}"},
+        {"bbox": [0, 80, 100, 100], "latex": "\\mathrm{d}x "},
+        # exactly matching element 1's bbox — but element 1 is text-typed
+        {"bbox": [0, 40, 100, 60], "latex": "never"},
+    ]
+    fill_formula_content(elements, formulas)
+    assert elements[0]["text"] == "old"          # IoU 1/3 <= 0.5
+    assert elements[1]["text"] == "keep"         # non-formula untouched
+    assert elements[2]["text"] == "\\mathrm{d}x"  # best IoU wins, normalized
+    assert elements[3]["text"] == "stale"        # no overlapping result
