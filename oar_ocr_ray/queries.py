@@ -3356,21 +3356,26 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "ann_lsh_topk": ann_lsh_topk,
-    # rows-only (no SQL oracle)
     "fingerprints": fingerprints,
     "minhash_bands": minhash_bands,
     "simhash_buckets": simhash_buckets,
     "simhash_dup_pairs": simhash_dup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
+    # --- ALL oracled entries above this line stay contiguous: the driver
+    # records only the first 50 registry entries, so oracled queries come
+    # first and the rows-only/golden-verified media queries go LAST. The
+    # oracled tail beyond 50 is swept by tools/check_correctness.py into
+    # the committed CORRECTNESS_FULL_r{N}.json artifact.
     "embedding_clusters": embedding_clusters,
-    "structure_extract": structure_extract,
     "distinct_sources": distinct_sources,
-    "ocr_word_boxes": ocr_word_boxes,
-    "crop_aspect_buckets": crop_aspect_buckets,
     "customers_with_highvalue_orders": customers_with_highvalue_orders,
     "customers_without_highvalue_orders": customers_without_highvalue_orders,
     "parts_by_brand": parts_by_brand,
     "supplier_balance_by_region": supplier_balance_by_region,
+    # rows-only / golden-verified in pytest (no SQL oracle)
+    "structure_extract": structure_extract,
+    "ocr_word_boxes": ocr_word_boxes,
+    "crop_aspect_buckets": crop_aspect_buckets,
 }
 
 ORACLE_SQL = {
