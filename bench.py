@@ -73,6 +73,58 @@ def corpus_dir() -> dict:
     return meta
 
 
+STRUCT_PAGES = int(os.environ.get("BENCH_STRUCT_PAGES", "5000"))
+
+
+def structure_corpus_dir() -> dict:
+    """Generate (once, cached) the structure-page scaling corpus in /tmp."""
+    import json as _json
+
+    d = os.path.join("/tmp", f"oar_bench_struct_v2_{STRUCT_PAGES}")
+    meta_path = os.path.join(d, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return _json.load(f)
+    from oar_ocr_ray.fixtures import write_structure_corpus
+
+    os.makedirs(d, exist_ok=True)
+    meta = write_structure_corpus(d, STRUCT_PAGES, seed=7, n_media_buckets=32)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def run_structure(meta: dict, num_cpus: int, repeats: int = 3) -> tuple[float, int]:
+    """Best-of-N wall time for the full PP-StructureV3 page pipeline over
+    the scaling corpus — the per-page actor stage has NO shuffle, so it
+    should scale embarrassingly with CPUs (the --scaling structure leg)."""
+    import ray
+    import ray.data
+
+    from oar_ocr_ray.stages.media import cached_stage
+    from oar_ocr_ray.stages.structure_stage import StructureExtract
+
+    def build():
+        # blocks = bucket count: the refs manifest is bucket-sorted, so
+        # each task's pages land in 1-2 bucket files (bucket locality —
+        # 64 unaligned blocks measured 4.1 s vs 3.0 s aligned at 5k/32cpu)
+        ds = ray.data.read_parquet(
+            meta["refs_path"], override_num_blocks=int(meta.get("n_buckets", 32)))
+        return ds.map_batches(
+            cached_stage(StructureExtract, media_dir=meta["media_dir"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+
+    build().count()  # warm-up: workers + media store
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        n = build().count()
+        times.append(time.perf_counter() - t0)
+        assert n == meta["n_pages"], (n, meta["n_pages"])
+    return min(times), meta["n_pages"]
+
+
 def tune_data_context() -> None:
     """Execution knobs for this pipeline (see BASELINE.md):
     - op_resource_reservation_ratio=0: the default 50% per-operator CPU
@@ -191,23 +243,30 @@ def cpu_capacity_scale(lo: int = 8, hi: int = 32, seconds: float = 2.0) -> float
 
 
 def scaling() -> None:
-    """Run the headline job at num_cpus=8 and 32 in fresh processes."""
+    """Run the headline job — and the shuffle-free structure-page job —
+    at num_cpus=8 and 32 in fresh processes."""
     corpus_dir()  # pre-generate so both runs see a warm corpus
+    structure_corpus_dir()
 
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY_FLAGSHIP="1")
+    def run(ncpu: int, mode: str) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **{mode: "1"})
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = run(8)
+    lo = run(8, "BENCH_ONLY_FLAGSHIP")
     time.sleep(30)  # let residual load from the previous Ray session decay
     # (measured: back-to-back legs inflate the second leg's wall time ~30%)
-    hi = run(32)
+    hi = run(32, "BENCH_ONLY_FLAGSHIP")
+    time.sleep(30)
+    s_lo = run(8, "BENCH_ONLY_STRUCTURE")
+    time.sleep(30)
+    s_hi = run(32, "BENCH_ONLY_STRUCTURE")
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8)
+    s_eff = (s_lo["value"] / s_hi["value"]) / (32 / 8)
     hw = cpu_capacity_scale(8, 32)
     print(
         json.dumps(
@@ -221,6 +280,14 @@ def scaling() -> None:
                 "hardware_capacity_scale_8_to_32": round(hw, 3),
                 "efficiency_vs_hardware": round((t_lo / t_hi) / hw, 3),
                 "bench_docs": lo.get("bench_docs"),
+                "structure_sec_8": s_lo["value"],
+                "structure_sec_32": s_hi["value"],
+                "pages_per_sec_8": s_lo["pages_per_sec"],
+                "pages_per_sec_32": s_hi["pages_per_sec"],
+                "structure_scaling_efficiency": round(s_eff, 3),
+                "structure_efficiency_vs_hardware": round(
+                    (s_lo["value"] / s_hi["value"]) / hw, 3),
+                "bench_struct_pages": s_lo.get("bench_struct_pages"),
             }
         )
     )
@@ -242,6 +309,20 @@ if __name__ == "__main__":
             "metric": "flagship_extract_sec", "value": round(dt, 3), "unit": "sec",
             "queries": {}, "sf": SF_DIR, "num_cpus": NUM_CPUS,
             "bench_docs": n, "docs_per_sec": round(n / dt, 2),
+        }))
+    elif os.environ.get("BENCH_ONLY_STRUCTURE"):
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        tune_data_context()
+        meta = structure_corpus_dir()
+        dt, n = run_structure(meta, NUM_CPUS)
+        ray.shutdown()
+        print(json.dumps({
+            "metric": "structure_extract_sec", "value": round(dt, 3), "unit": "sec",
+            "num_cpus": NUM_CPUS, "bench_struct_pages": n,
+            "pages_per_sec": round(n / dt, 2),
         }))
     else:
         main()

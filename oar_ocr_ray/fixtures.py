@@ -841,11 +841,19 @@ def write_structure_corpus(
     golden_path = os.path.join(out_dir, "golden_structure.parquet")
     pq.write_table(pa.Table.from_pylist(golden, schema=STRUCT_GOLDEN_SCHEMA), golden_path)
     refs_path = os.path.join(out_dir, "page_refs.parquet")
+    # refs sorted by media bucket: consumer blocks align with bucket files,
+    # so a map task touches 1-2 buckets instead of all of them (measured
+    # 5000-page structure run: every-task-loads-every-bucket was the
+    # scaling bottleneck; bucket-local blocks restore raw-Ray throughput)
+    sorted_refs = sorted(
+        (p["media_ref"] for p in pages),
+        key=lambda r: (media_bucket(r, n_media_buckets), r),
+    )
     pq.write_table(
-        pa.table({"media_ref": pa.array([p["media_ref"] for p in pages], pa.string())}),
+        pa.table({"media_ref": pa.array(sorted_refs, pa.string())}),
         refs_path,
     )
     return {
         "media_dir": media_dir, "golden_path": golden_path, "refs_path": refs_path,
-        "n_pages": n_pages, "seed": seed,
+        "n_pages": n_pages, "seed": seed, "n_buckets": n_media_buckets,
     }

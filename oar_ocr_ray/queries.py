@@ -1787,7 +1787,7 @@ def _structure_corpus(sf_dir: str) -> dict:
 
     from .fixtures import write_structure_corpus
 
-    key = hashlib.sha1(f"v7:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    key = hashlib.sha1(f"v8:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     out_dir = os.path.join("/tmp", f"oar_structure_{key}")
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
@@ -1817,13 +1817,16 @@ def structure_extract(sf_dir: str):
 
     meta = _structure_corpus(sf_dir)
     # the refs manifest is one tiny file -> one block -> SERIAL execution
-    # unless split; ~cpus/2 blocks measured best (16 blocks: 1.2 s vs 5.2 s
-    # serial vs 3.6 s at 64 — per-task store-open overhead past the knee)
-    n_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    # unless split. Blocks = bucket count: the manifest is written sorted
+    # by media bucket, so each task's refs land in 1-2 bucket files
+    # (bucket locality); more blocks than buckets just multiplies per-task
+    # bucket loads (measured: 64 blocks 4.1 s vs 32 blocks 3.0 s at 5k
+    # pages / 32 cpus, raw-Ray floor 1.9 s)
+    n_blocks = int(meta.get("n_buckets", 16))
     ds = ray.data.read_parquet(meta["refs_path"], override_num_blocks=n_blocks)
     return ds.map_batches(
         cached_stage(StructureExtract, media_dir=meta["media_dir"]),
-        batch_format="pyarrow", batch_size=32,
+        batch_format="pyarrow", batch_size=None,
     )
 
 
@@ -3306,6 +3309,219 @@ FROM ranked
 """
 
 
+def per_source_cap(sf_dir: str, cap: int = 20):
+    """C4/CCNet-style per-source document cap: keep at most `cap` docs per
+    source, selected deterministically by md5 hash order (a seeded
+    reservoir that is reshard-stable). Scale shape: per-batch PARTIAL
+    top-cap per source (a combiner — each block emits <= |sources|*cap
+    rows) -> small groupby(source) final top-cap. The shuffle moves
+    O(blocks * sources * cap) tiny rows, never the corpus; source
+    cardinality is bounded (like the reference's per-store grouping), so
+    one native group per source is fine.
+
+    Exact oracle parity: ORDER BY md5_number_lower(doc_id), doc_id on
+    both sides (QUALIFY row_number() <= cap)."""
+    from .functions.dedup import md5_lower64_batch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = md5_lower64_batch(str(x) for x in df["doc_id"])
+        # uint64 hash order carried as two int32 halves (exact lexicographic)
+        df["hkey_hi"] = (key >> np.uint64(32)).astype(np.int64)
+        df["hkey_lo"] = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        df = df.sort_values(["hkey_hi", "hkey_lo", "doc_id"], kind="stable")
+        return df.groupby("source", sort=False).head(cap)[
+            ["doc_id", "source", "hkey_hi", "hkey_lo"]]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hkey_hi", "hkey_lo", "doc_id"], kind="stable")
+        return g.head(cap)[["doc_id", "source"]]
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source").map_groups(final, batch_format="pandas")
+    )
+
+
+PER_SOURCE_CAP_SQL = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+"""
+
+
+# Gopher-style rule cascade (Rae et al. 2021 App. A1; thresholds
+# calibrated to this corpus so every rule fires AND passes somewhere —
+# falsifiable both ways). All comparisons are INTEGER math: no float
+# parity surface at all. Stopwords = the corpus's 6 most frequent words
+# (the synthetic vocabulary has no English function words).
+_GOPHER_STOPWORDS = ("join", "hash", "row", "batch", "scan", "column")
+
+
+def gopher_filter_cascade(sf_dir: str):
+    """Per-doc quality filter cascade with REASONS (the Dolma/Gopher
+    tagger pattern): first failing rule wins. Rules, in order:
+      too_short    n_words < 20
+      too_long     n_words > 90
+      word_length  mean word length < 4 or > 5  (chars<4n | chars>5n)
+      no_stopwords stopword fraction < 0.1      (10*stop < n)
+      repetitive   dup-word ratio > 0.65        (20*distinct < 7*n)
+    Pure map_batches — no shuffle; every rule is exact integer math."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stop = set(_GOPHER_STOPWORDS)
+
+    def cascade(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip().str.split().reset_index(drop=True)
+        n = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        flat = toks.explode().dropna()  # index = source row position
+        def per_doc(agg: pd.Series) -> np.ndarray:
+            return agg.reindex(range(len(df)), fill_value=0).to_numpy(dtype=np.int64)
+        chars = per_doc(flat.str.len().groupby(level=0).sum())
+        nstop = per_doc(flat.isin(stop).groupby(level=0).sum())
+        ndist = per_doc(flat.groupby(level=0).nunique())
+        reason = np.full(len(df), "", dtype=object)
+        keep = np.ones(len(df), dtype=bool)
+
+        def rule(mask, name):
+            hit = mask & keep
+            reason[hit] = name
+            keep[hit] = False
+
+        rule(n < 20, "too_short")
+        rule(n > 90, "too_long")
+        rule((chars < 4 * n) | (chars > 5 * n), "word_length")
+        rule(10 * nstop < n, "no_stopwords")
+        rule(20 * ndist < 7 * n, "repetitive")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "keep": keep, "reason": reason})
+
+    return ds.map_batches(cascade, batch_format="pandas")
+
+
+GOPHER_CASCADE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, trim(COALESCE(text, '')) AS txt FROM documents
+), w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(txt, '\s+')) AS word
+  FROM t WHERE txt <> ''
+), s AS (
+  SELECT t.doc_id,
+         COALESCE(count(w.word), 0) AS n,
+         COALESCE(sum(len(w.word)), 0) AS chars,
+         COALESCE(sum(CASE WHEN w.word IN
+           ('join','hash','row','batch','scan','column') THEN 1 ELSE 0 END), 0)
+           AS nstop,
+         COALESCE(count(DISTINCT w.word), 0) AS ndist
+  FROM t LEFT JOIN w USING (doc_id) GROUP BY t.doc_id
+)
+SELECT doc_id,
+  CASE
+    WHEN n < 20 THEN 'too_short'
+    WHEN n > 90 THEN 'too_long'
+    WHEN chars < 4 * n OR chars > 5 * n THEN 'word_length'
+    WHEN 10 * nstop < n THEN 'no_stopwords'
+    WHEN 20 * ndist < 7 * n THEN 'repetitive'
+    ELSE ''
+  END AS reason,
+  CASE
+    WHEN n < 20 OR n > 90 OR chars < 4 * n OR chars > 5 * n
+      OR 10 * nstop < n OR 20 * ndist < 7 * n THEN FALSE
+    ELSE TRUE
+  END AS keep
+FROM s
+"""
+
+
+def mg_heavy_hitters(sf_dir: str, frac_den: int = 30, sketch_k: int = 32):
+    """Frequent-words via a mergeable Misra-Gries sketch (Misra & Gries
+    1982; merge bound Agarwal et al. 2012) + an exact verification pass —
+    the third mergeable summary alongside HLL and Bloom. Returns every
+    word with true count * frac_den > total (frac = 1/frac_den).
+
+    Scale shape and the error ledger:
+      pass 1: per-batch MG summary (<= sketch_k counters; computed from
+        exact batch counts by subtracting the (sketch_k+1)-th largest,
+        undercount <= n_b/(sketch_k+1)) -> groupby(word) SUM of partials.
+        Summed partials undercount by at most sum_b n_b/(k+1) = n/(k+1),
+        so every true heavy hitter has partial_sum > n*(1/frac_den -
+        1/(k+1)) — the candidate filter — and the candidate COUNT is
+        bounded by 1/(1/frac_den - 1/(k+1)) = 330 words at the defaults,
+        a broadcastable constant regardless of corpus size (requires
+        sketch_k + 1 > frac_den, asserted).
+      pass 2: exact counts for the broadcast candidates only -> integer
+        threshold filter. Both passes' thresholds are pure int math."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    assert sketch_k + 1 > frac_den, "MG guarantee needs k+1 > frac_den"
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df["text"]).explode().dropna()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        if len(vc) > sketch_k:
+            t = int(vc.iloc[sketch_k])  # (k+1)-th largest
+            vc = (vc - t)[lambda s: s > 0]
+        out = pd.DataFrame({"word": vc.index.astype(str), "cnt": vc.to_numpy()})
+        out["n_b"] = np.int64(len(toks))
+        return out
+
+    partials = (
+        ds.map_batches(mg_partial, batch_format="pandas")
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    # total tokens: sum of per-batch n_b carried on the first row per batch
+    # would double-count per word; recompute exactly from a cheap pass
+    total = int(
+        ds.map_batches(
+            lambda df: pd.DataFrame({"n": [int(_tokens(df["text"]).explode()
+                                           .dropna().pipe(lambda s: (s != "").sum()))]}),
+            batch_format="pandas",
+        ).sum("n")
+    )
+    # candidate filter: cnt_sum * frac_den * (k+1) > total * (k+1 - frac_den)
+    # — rewritten as an exact integer-division threshold (for integer cnt,
+    # cnt*A > B  <=>  cnt > B//A), since filter exprs want `col > literal`
+    kp1 = sketch_k + 1
+    cand_thr = (total * (kp1 - frac_den)) // (frac_den * kp1)
+    cand = partials.filter(expr=f"cnt > {cand_thr}").to_pandas()
+    cand_ref = ray.put(set(cand["word"]))
+
+    def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        cset = _ray.get(cand_ref)
+        toks = _tokens(df["text"]).explode().dropna()
+        toks = toks[(toks != "") & toks.isin(cset)]
+        vc = toks.value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str), "cnt": vc.to_numpy()})
+
+    out = (
+        ds.map_batches(exact_counts, batch_format="pandas")
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+        .filter(expr=f"cnt > {total // frac_den}")  # exact: int cnt
+        .to_pandas()
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values(["cnt", "word"], ascending=[False, True],
+                           kind="stable").reset_index(drop=True)
+
+
+MG_HEAVY_HITTERS_SQL = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), ww AS (SELECT word FROM w WHERE word <> ''),
+tot AS (SELECT count(*) AS n FROM ww),
+c AS (SELECT word, count(*) AS cnt FROM ww GROUP BY word)
+SELECT word, cnt FROM c
+WHERE cnt * 30 > (SELECT n FROM tot)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3372,6 +3588,9 @@ QUERIES = {
     "customers_without_highvalue_orders": customers_without_highvalue_orders,
     "parts_by_brand": parts_by_brand,
     "supplier_balance_by_region": supplier_balance_by_region,
+    "per_source_cap": per_source_cap,
+    "gopher_filter_cascade": gopher_filter_cascade,
+    "mg_heavy_hitters": mg_heavy_hitters,
     # rows-only / golden-verified in pytest (no SQL oracle)
     "structure_extract": structure_extract,
     "ocr_word_boxes": ocr_word_boxes,
@@ -3437,4 +3656,7 @@ ORACLE_SQL = {
     "customers_without_highvalue_orders": ANTI_JOIN_SQL,
     "parts_by_brand": PARTS_BRAND_SQL,
     "supplier_balance_by_region": SUPPLIER_REGION_SQL,
+    "per_source_cap": PER_SOURCE_CAP_SQL,
+    "gopher_filter_cascade": GOPHER_CASCADE_SQL,
+    "mg_heavy_hitters": MG_HEAVY_HITTERS_SQL,
 }

@@ -95,6 +95,25 @@ def strip_boilerplate_series(s: pd.Series) -> pd.Series:
     return s.str.strip()
 
 
+def strip_boilerplate_arrow(arr):
+    """Arrow-native strip_boilerplate: the same four regex passes as
+    strip_boilerplate_series but as pyarrow.compute
+    replace_substring_regex kernels (RE2, true C vectorization — the
+    patterns use only RE2-supported syntax: inline (?im), alternation,
+    classes; no backrefs/lookarounds). Zero pandas round-trip: this is
+    the flagship text-span path, so batches stay Arrow end-to-end.
+    Property-tested equal to the pandas/scalar implementations."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    x = pc.fill_null(arr, "")
+    x = pc.replace_substring_regex(x, pattern=_BOILER_LINE_ML.pattern, replacement="")
+    x = pc.replace_substring_regex(x, pattern=_WS.pattern, replacement=" ")
+    x = pc.replace_substring_regex(x, pattern=_NL_WS.pattern, replacement="\n")
+    x = pc.replace_substring_regex(x, pattern=_MULTI_NL.pattern, replacement="\n")
+    return pc.utf8_trim_whitespace(x)
+
+
 def needs_space_after(ch: str) -> bool:
     """Space only after ASCII letters (stitching.rs:731-733)."""
     return len(ch) == 1 and ch.isascii() and ch.isalpha()

@@ -80,3 +80,42 @@ def test_smart_join_soft_wrap():
     container = (0.0, 0.0, 100.0, 50.0)
     boxes = np.array([[0, 0, 95, 10], [0, 30, 60, 40]], dtype=float)
     assert smart_join(["full line", "continues"], boxes, container) == "full line continues"
+
+
+def test_strip_boilerplate_arrow_matches_series_and_scalar():
+    """The Arrow-native RE2 kernel path (the flagship text-span stage)
+    must stay byte-identical to the pandas-series and per-string golden
+    implementations, including CRLF, case-insensitive boilerplate,
+    whitespace collapse and full-strip edge cases — plus randomized
+    interleavings of boilerplate lines and corpus-like text."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from oar_ocr_ray.textproc import (
+        BOILERPLATE_PATTERNS,
+        strip_boilerplate,
+        strip_boilerplate_arrow,
+        strip_boilerplate_series,
+    )
+
+    fixed = [
+        "Hello world\n\nAdvertisement\nreal text",
+        "line1\r\nCOPYRIGHT 2021 foo\r\nline2",
+        "  spaced\t\ttabs \n\n\n many newlines \n [ AD ] \n end  ",
+        "share this on facebook\nkeep", "Follow us on X\n", "", "   \t  ",
+        "back to top\nBACK TO TOP\n related articles: \nbody",
+        "© 2024 Corp all rights\nnext", "no boiler at all",
+        "\n\n\n", "a\nb\nc", "trailing spaces   \nline   ", None,
+    ]
+    rng = np.random.default_rng(3)
+    lines_pool = ["Advertisement", "back to top", "plain line", "x  y\tz",
+                  "related articles:", "  ", "© 2020 acme", "last words"]
+    rand = ["\n".join(rng.choice(lines_pool, size=rng.integers(1, 7)))
+            for _ in range(50)]
+    cases = fixed + rand
+    ser = strip_boilerplate_series(pd.Series(cases)).tolist()
+    arr = strip_boilerplate_arrow(pa.array(cases, pa.string())).to_pylist()
+    sca = [strip_boilerplate(c or "") for c in cases]
+    assert ser == arr == sca
+    assert len(BOILERPLATE_PATTERNS) >= 8  # guard: patterns stay shared
