@@ -3522,6 +3522,340 @@ WHERE cnt * 30 > (SELECT n FROM tot)
 """
 
 
+def _bpart(vals: np.ndarray, n_parts: int = 64) -> np.ndarray:
+    """Coarse co-partition key for big-big joins: both sides of a join add
+    the same hash(key) % n_parts column and meet in one groupby partition,
+    where the join runs as a vectorized pandas merge — never one Python
+    call per join key, and no corpus-sized broadcast."""
+    return (np.abs(vals.astype(np.int64)) % n_parts).astype(np.int32)
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 (adapted to this schema: the EXISTS predicate is
+    l_shipdate > o_orderdate, the late-shipment semi-join): priority
+    counts for 1996-Q1 orders having at least one late-shipped line.
+
+    Scale shape: the order->date map is ORDER-cardinality (never
+    broadcast); both streams add the same coarse hash(orderkey) partition
+    key and the semi-join is a vectorized in-partition merge, followed by
+    a 5-row final groupby."""
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["o_orderdate"].to_numpy() >= lo) & (df["o_orderdate"].to_numpy() < hi)]
+        return pd.DataFrame({
+            "key": d["o_orderkey"].to_numpy(), "side": np.int8(0),
+            "prio": d["o_orderpriority"].astype(str),
+            "date": d["o_orderdate"].to_numpy(),
+            "bp": _bpart(d["o_orderkey"].to_numpy()),
+        })
+
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["l_orderkey"].to_numpy(), "side": np.int8(1),
+            "prio": "", "date": df["l_shipdate"].to_numpy(),
+            "bp": _bpart(df["l_orderkey"].to_numpy()),
+        })
+
+    def semi_count(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        if len(o) == 0:
+            return pd.DataFrame({"prio": np.array([], dtype="U1"),
+                                 "n": np.array([], dtype=np.int64)})
+        m = o.merge(l[["key", "date"]], on="key", suffixes=("", "_l"))
+        late = m[m["date_l"].to_numpy() > m["date"].to_numpy()]
+        hit = o[o["key"].isin(set(late["key"]))]
+        vc = hit["prio"].value_counts()
+        return pd.DataFrame({"prio": vc.index.astype(str), "n": vc.to_numpy()})
+
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])\
+        .map_batches(o_part, batch_format="pandas")
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])\
+        .map_batches(l_part, batch_format="pandas")
+    out = (
+        orders.union(lines).groupby("bp")
+        .map_groups(semi_count, batch_format="pandas")
+        .groupby("prio").aggregate(Sum("n", alias_name="order_count"))
+        .to_pandas()
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.rename(columns={"prio": "o_orderpriority"}).sort_values(
+        "o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q12_priority_by_returnflag(sf_dir: str):
+    """TPC-H Q12 (shipmode -> returnflag on this schema): per returnflag
+    of 1996-shipped lines, CASE-sum of high- vs low-priority orders.
+    Same co-partitioned big-big join as q4; the CASE-sums are partial
+    per partition, final groupby is 3 rows."""
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        return pd.DataFrame({
+            "key": df["o_orderkey"].to_numpy(), "side": np.int8(0),
+            "high": high, "flag": "",
+            "bp": _bpart(df["o_orderkey"].to_numpy()),
+        })
+
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["l_shipdate"].to_numpy() >= lo) & (df["l_shipdate"].to_numpy() < hi)]
+        return pd.DataFrame({
+            "key": d["l_orderkey"].to_numpy(), "side": np.int8(1),
+            "high": False, "flag": d["l_returnflag"].astype(str),
+            "bp": _bpart(d["l_orderkey"].to_numpy()),
+        })
+
+    def join_count(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["key", "high"]]
+        l = g[g["side"] == 1][["key", "flag"]]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame({"flag": np.array([], dtype="U1"),
+                                 "high_count": np.array([], dtype=np.int64),
+                                 "low_count": np.array([], dtype=np.int64)})
+        m = l.merge(o, on="key")
+        agg = m.groupby("flag", sort=False)["high"].agg(["sum", "count"])
+        return pd.DataFrame({"flag": agg.index.astype(str),
+                             "high_count": agg["sum"].to_numpy(dtype=np.int64),
+                             "low_count": (agg["count"] - agg["sum"]).to_numpy(dtype=np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])\
+        .map_batches(o_part, batch_format="pandas")
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_returnflag"])\
+        .map_batches(l_part, batch_format="pandas")
+    out = (
+        orders.union(lines).groupby("bp")
+        .map_groups(join_count, batch_format="pandas")
+        .groupby("flag").aggregate(Sum("high_count", alias_name="high_line_count"),
+                                   Sum("low_count", alias_name="low_line_count"))
+        .to_pandas()
+    )
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out.rename(columns={"flag": "l_returnflag"}).sort_values(
+        "l_returnflag").reset_index(drop=True)
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13: distribution of orders-per-customer INCLUDING customers
+    with zero orders (the left-join histogram). Scale shape: per-batch
+    partial order counts per custkey -> coarse hash(custkey) partition
+    where the customer stream left-merges the summed counts (both sides
+    co-partitioned; no customer-cardinality broadcast) -> per-partition
+    histogram partials -> tiny final groupby(c_count)."""
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["o_custkey"].value_counts()
+        k = vc.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame({"key": k, "side": np.int8(1),
+                             "n": vc.to_numpy(dtype=np.int64), "bp": _bpart(k)})
+
+    def c_part(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"key": k, "side": np.int8(0),
+                             "n": np.int64(0), "bp": _bpart(k)})
+
+    def hist_partial(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g.loc[g["side"] == 0, ["key"]]
+        if len(cust) == 0:
+            return pd.DataFrame({"c_count": np.array([], dtype=np.int64),
+                                 "custdist": np.array([], dtype=np.int64)})
+        cnt = g[g["side"] == 1].groupby("key", sort=False)["n"].sum()
+        per_cust = cust["key"].map(cnt).fillna(0).astype(np.int64)
+        vc = per_cust.value_counts()
+        return pd.DataFrame({"c_count": vc.index.to_numpy(dtype=np.int64),
+                             "custdist": vc.to_numpy(dtype=np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(o_part, batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(c_part, batch_format="pandas")
+    out = (
+        cust.union(orders).groupby("bp")
+        .map_groups(hist_partial, batch_format="pandas")
+        .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    out["custdist"] = out["custdist"].astype("int64")
+    out["c_count"] = out["c_count"].astype("int64")
+    return out.sort_values(["custdist", "c_count"], ascending=[False, False]).reset_index(drop=True)
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 (correlated avg decorrelated): yearly revenue from lines
+    with quantity below 20% of their part's average quantity. Scale
+    shape: per-part (sum_qty, cnt) combiner partials -> coarse
+    hash(partkey) partition joins the stats back to the co-partitioned
+    lineitem stream (the per-part table is PART-cardinality — joined, not
+    broadcast) -> integer-cent partial sums -> one scalar.
+
+    Exact parity: quantities are integer-valued, so the 20%-of-average
+    predicate is the integer inequality 5 * qty * cnt < sum_qty on both
+    engines; revenue is integer cents, one float division at the end."""
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_partkey"].to_numpy(dtype=np.int64)
+        q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"key": k, "side": np.int8(1), "qty": q,
+                             "cents": cents, "bp": _bpart(k)})
+
+    def filtered_sum(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 1]
+        if len(l) == 0:
+            return pd.DataFrame({"cents": pd.Series(dtype="int64")})
+        stats = l.groupby("key", sort=False)["qty"].agg(["sum", "count"])
+        s = l["key"].map(stats["sum"]).to_numpy(dtype=np.int64)
+        c = l["key"].map(stats["count"]).to_numpy(dtype=np.int64)
+        keep = 5 * l["qty"].to_numpy() * c < s
+        return pd.DataFrame({"cents": [int(l["cents"].to_numpy()[keep].sum())]})
+
+    from ray.data.aggregate import Sum
+
+    total = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(l_part, batch_format="pandas")
+        .groupby("bp").map_groups(filtered_sum, batch_format="pandas")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    return pd.DataFrame({"avg_yearly": [
+        round_half_away(float(total["cents"] or 0) / 100.0 / 7.0, 2)]})
+
+
+Q17_SQL = """
+WITH stats AS (
+  SELECT l_partkey, sum(CAST(round(l_quantity) AS BIGINT)) AS s,
+         count(*) AS c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             / 100.0 / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN stats st ON l.l_partkey = st.l_partkey
+WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * st.c < st.s
+"""
+
+
+def q22_idle_customer_balance(sf_dir: str, min_total: float = 300000.0):
+    """TPC-H Q22 (phone prefix -> mktsegment on this schema; "no orders"
+    -> "no HIGH-VALUE orders" so the result is non-empty on the dense
+    synthetic order table): per segment, count + total balance of
+    customers with above-average positive balance and no order above
+    min_total. Scale shape: the global positive-balance average is a
+    scalar aggregate; the anti-join runs co-partitioned on hash(custkey)
+    (qualifying custkeys are ORDER-cardinality in the worst case — never
+    broadcast); final groupby is 5 segments.
+
+    Exact parity: balances as integer cents; the above-average predicate
+    is cents * cnt > sum_cents (exact int); totals one float division."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "c": [len(pos)]})
+
+    agg = cust.map_batches(pos_partial, batch_format="pandas").aggregate(
+        Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    s_cents, cnt = int(agg["s"] or 0), int(agg["c"] or 0)
+
+    def c_part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        d = df[cents * cnt > s_cents]
+        k = d["c_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"key": k, "side": np.int8(0),
+                             "seg": d["c_mktsegment"].astype(str),
+                             "cents": cents[cents * cnt > s_cents],
+                             "bp": _bpart(k)})
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_totalprice"] > min_total]
+        k = d["o_custkey"].drop_duplicates().to_numpy(dtype=np.int64)
+        return pd.DataFrame({"key": k, "side": np.int8(1), "seg": "",
+                             "cents": np.int64(0), "bp": _bpart(k)})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0]
+        with_orders = set(g.loc[g["side"] == 1, "key"])
+        d = c[~c["key"].isin(with_orders)]
+        if len(d) == 0:
+            return pd.DataFrame({"seg": np.array([], dtype="U1"),
+                                 "numcust": np.array([], dtype=np.int64),
+                                 "cents": np.array([], dtype=np.int64)})
+        agg = d.groupby("seg", sort=False)["cents"].agg(["count", "sum"])
+        return pd.DataFrame({"seg": agg.index.astype(str),
+                             "numcust": agg["count"].to_numpy(dtype=np.int64),
+                             "cents": agg["sum"].to_numpy(dtype=np.int64)})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        o_part, batch_format="pandas")
+    out = (
+        cust.map_batches(c_part, batch_format="pandas").union(orders)
+        .groupby("bp").map_groups(anti, batch_format="pandas")
+        .groupby("seg").aggregate(Sum("numcust", alias_name="numcust"),
+                                  Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = round_half_away(out["cents"].to_numpy(dtype=np.float64) / 100.0, 2)
+    return out.rename(columns={"seg": "c_mktsegment"})[
+        ["c_mktsegment", "numcust", "totacctbal"]
+    ].sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q22_SQL = """
+WITH avgbal AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS c
+  FROM customer WHERE round(c_acctbal * 100) > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+         AS totacctbal
+FROM customer, avgbal
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * avgbal.c > avgbal.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_totalprice > 300000.0)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3591,6 +3925,11 @@ QUERIES = {
     "per_source_cap": per_source_cap,
     "gopher_filter_cascade": gopher_filter_cascade,
     "mg_heavy_hitters": mg_heavy_hitters,
+    "q4_order_priority": q4_order_priority,
+    "q12_priority_by_returnflag": q12_priority_by_returnflag,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q22_idle_customer_balance": q22_idle_customer_balance,
     # rows-only / golden-verified in pytest (no SQL oracle)
     "structure_extract": structure_extract,
     "ocr_word_boxes": ocr_word_boxes,
@@ -3659,4 +3998,9 @@ ORACLE_SQL = {
     "per_source_cap": PER_SOURCE_CAP_SQL,
     "gopher_filter_cascade": GOPHER_CASCADE_SQL,
     "mg_heavy_hitters": MG_HEAVY_HITTERS_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q12_priority_by_returnflag": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q22_idle_customer_balance": Q22_SQL,
 }
