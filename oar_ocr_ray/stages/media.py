@@ -532,6 +532,13 @@ class Recognize:
         from ..rectify import rotate_about_center
         from ..stubs import estimate_skew_angle
 
+        # fast gate: a straight-line crop is an exact dark rect (every
+        # in-contract pixel < 128), while any rotated crop carries white
+        # corner fill — one vectorized max() skips the moments estimate
+        # for the ~99% straight majority (measured: the ungated estimator
+        # was 48% of the whole fused-chain UDF time)
+        if int(arr.max()) < 128:
+            return arr
         ang = estimate_skew_angle(arr)
         if abs(ang) > 0.1:
             return rotate_about_center(arr, ang, fill=255)
