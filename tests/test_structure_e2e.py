@@ -112,3 +112,42 @@ def test_wireless_tables_get_structure_from_lines(corpus):
     golden = pq.read_table(corpus["golden_path"]).to_pandas()
     tabled = golden[golden["labels"].str.contains("table")]
     assert tabled["markdown"].str.contains("<tr>").any()
+
+
+def test_run_structure_extract_resumable(ray_session, corpus, tmp_path):
+    """Sharded structure runner: a killed run (max_shards=1) resumes from
+    the manifest, re-running skips committed shards, and the union of
+    shard outputs equals the one-shot pipeline result page-for-page."""
+    from oar_ocr_ray.pipelines.structure import (
+        read_structure_output,
+        run_structure_extract,
+    )
+
+    out = str(tmp_path / "out")
+    r1 = run_structure_extract(corpus["refs_path"], corpus["media_dir"], out,
+                               n_shards=4, n_buckets=corpus["n_buckets"],
+                               max_shards=1)
+    assert r1["shards_processed_now"] == 1 and r1["shards_done"] == 1
+    partial = read_structure_output(out)
+    assert 0 < len(partial) < corpus["n_pages"]
+
+    r2 = run_structure_extract(corpus["refs_path"], corpus["media_dir"], out,
+                               n_shards=4, n_buckets=corpus["n_buckets"])
+    assert r2["shards_done"] == 4 and r2["shards_processed_now"] == 3
+    full = read_structure_output(out).to_pandas().sort_values(
+        "media_ref").reset_index(drop=True)
+    assert len(full) == corpus["n_pages"]
+    golden = pq.read_table(corpus["golden_path"]).to_pandas().sort_values(
+        "media_ref").reset_index(drop=True)
+    for col in ("n_elements", "markdown", "html"):
+        assert (full[col].to_numpy() == golden[col].to_numpy()).all(), col
+
+    # idempotent: a third run does nothing
+    r3 = run_structure_extract(corpus["refs_path"], corpus["media_dir"], out,
+                               n_shards=4, n_buckets=corpus["n_buckets"])
+    assert r3["shards_processed_now"] == 0
+
+    # drifted shard layout must fail loudly, not silently skip/reprocess
+    with pytest.raises(RuntimeError, match="resume mismatch"):
+        run_structure_extract(corpus["refs_path"], corpus["media_dir"], out,
+                              n_shards=2, n_buckets=corpus["n_buckets"])
