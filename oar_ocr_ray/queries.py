@@ -3519,6 +3519,39 @@ WHERE cnt * 30 > (SELECT n FROM tot)
 """
 
 
+def ann_recall_eval(sf_dir: str, k: int = 10):
+    """ANN quality evaluation: recall@k of the LSH-bucketed index against
+    exact brute force, per query — the measurement that justifies (or
+    rejects) an approximate index before a corpus-wide rollout. Both
+    legs are the existing distributed pipelines (brute: broadcast query
+    matrix, per-batch partial top-k; LSH: hyperplane buckets, bucket-
+    filtered scoring); only the two k-row result sets meet on the driver.
+    recall = |lsh ∩ brute| / k, exact (k-denominator rational)."""
+    brute = ann_topk(sf_dir, k=k)
+    lsh = ann_lsh_topk(sf_dir, k=k)
+    m = brute.merge(
+        lsh[["query_id", "vec_id"]].assign(hit=np.int64(1)),
+        on=["query_id", "vec_id"], how="left",
+    )
+    rec = m.groupby("query_id", as_index=False)["hit"].agg(
+        lambda s: float(s.notna().sum()))
+    return pd.DataFrame({
+        "query_id": rec["query_id"].to_numpy(),
+        "recall": round_half_away(rec["hit"].to_numpy(dtype=np.float64) / k, 6),
+    }).sort_values("query_id").reset_index(drop=True)
+
+
+def _ann_recall_sql() -> str:
+    """Oracle: the brute and LSH oracles verbatim as subqueries, joined on
+    (query_id, vec_id) — recall is the matched fraction."""
+    return f"""
+SELECT b.query_id, round(count(l.vec_id) / 10.0, 6) AS recall
+FROM ({ANN_TOPK_SQL}) b
+LEFT JOIN ({ANN_LSH_SQL}) l USING (query_id, vec_id)
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
+
 def _vocab_combine(partials, key: str, val: str = "n", n_parts: int = 64):
     """Exact (key, sum(val)) over per-batch partial counts via ONE coarse
     hash(key) % n_parts exchange + a vectorized in-partition pandas
@@ -4045,6 +4078,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_idle_customer_balance": q22_idle_customer_balance,
     "bigram_logprob_scores": bigram_logprob_scores,
+    "ann_recall_eval": ann_recall_eval,
     # rows-only / golden-verified in pytest (no SQL oracle)
     "structure_extract": structure_extract,
     "ocr_word_boxes": ocr_word_boxes,
@@ -4119,4 +4153,5 @@ ORACLE_SQL = {
     "q17_small_quantity_revenue": Q17_SQL,
     "q22_idle_customer_balance": Q22_SQL,
     "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,
+    "ann_recall_eval": _ann_recall_sql(),
 }
