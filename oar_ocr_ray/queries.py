@@ -3519,6 +3519,85 @@ WHERE cnt * 30 > (SELECT n FROM tot)
 """
 
 
+def ann_lsh_multiprobe_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
+                            nbits: int = 8):
+    """Multi-probe LSH ANN (Lv et al. 2007, public): each query probes its
+    own bucket PLUS every 1-bit-flip neighbour (nbits+1 buckets), trading
+    a bounded widening of the candidate set for recall — the standard
+    production lever when single-bucket LSH recall is too low (measured
+    here by ann_recall_eval / ann_recall_multiprobe). Same shuffle-free
+    shape as ann_lsh_topk: bucket in map_batches, candidate filter against
+    the broadcast probe set, per-batch partial top-k."""
+    import ray
+
+    from .functions.ann import BruteForceScorer, HyperplaneLsh, _normalize, topk_reduce
+
+    qdf = _query_vectors(sf_dir, n_queries)
+    dim = len(qdf["embedding"].iloc[0])
+    lsh = HyperplaneLsh(dim, nbits=nbits)
+    qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    wanted = set()
+    for b in lsh.bucket(qm):
+        wanted.add(int(b))
+        for i in range(nbits):
+            wanted.add(int(b) ^ (1 << i))
+    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": qm})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    filtered = (
+        ds.map_batches(lambda df: lsh(df), batch_format="pandas")
+        .map_batches(lambda df: df[df["bucket"].isin(wanted)].drop(columns=["bucket"]),
+                     batch_format="pandas")
+    )
+    partials = filtered.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pandas",
+        concurrency=2,
+    )
+    return topk_reduce(partials.to_pandas(), k)
+
+
+def _ann_lsh_multiprobe_sql(nbits: int = 8) -> str:
+    flips = ", ".join(str(1 << i) for i in range(nbits))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5
+), qb AS (
+  SELECT DISTINCT xor(b.bucket, f.flip) AS bucket
+  FROM (SELECT {{bucket_expr}} AS bucket FROM q) b
+  CROSS JOIN (SELECT unnest([0, {flips}]) AS flip) f
+), cand AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {{cand_expr}} IN (SELECT bucket FROM qb)
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS score
+  FROM q CROSS JOIN cand c
+)
+SELECT query_id, vec_id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 10
+""".format(bucket_expr=_lsh_bucket_sql("qe", nbits),
+           cand_expr=_lsh_bucket_sql("embedding", nbits))
+
+
+def ann_recall_multiprobe(sf_dir: str, k: int = 10):
+    """recall@k of the MULTI-PROBE LSH index vs exact brute force — the
+    companion measurement to ann_recall_eval showing what the 1-bit-flip
+    probe widening buys."""
+    brute = ann_topk(sf_dir, k=k)
+    mp = ann_lsh_multiprobe_topk(sf_dir, k=k)
+    m = brute.merge(mp[["query_id", "vec_id"]].assign(hit=np.int64(1)),
+                    on=["query_id", "vec_id"], how="left")
+    rec = m.groupby("query_id", as_index=False)["hit"].agg(
+        lambda s: float(s.notna().sum()))
+    return pd.DataFrame({
+        "query_id": rec["query_id"].to_numpy(),
+        "recall": round_half_away(rec["hit"].to_numpy(dtype=np.float64) / k, 6),
+    }).sort_values("query_id").reset_index(drop=True)
+
+
 def ann_recall_eval(sf_dir: str, k: int = 10):
     """ANN quality evaluation: recall@k of the LSH-bucketed index against
     exact brute force, per query — the measurement that justifies (or
@@ -3541,13 +3620,14 @@ def ann_recall_eval(sf_dir: str, k: int = 10):
     }).sort_values("query_id").reset_index(drop=True)
 
 
-def _ann_recall_sql() -> str:
-    """Oracle: the brute and LSH oracles verbatim as subqueries, joined on
-    (query_id, vec_id) — recall is the matched fraction."""
+def _ann_recall_sql(approx_sql: str | None = None) -> str:
+    """Oracle: the brute and approximate-index oracles verbatim as
+    subqueries, joined on (query_id, vec_id) — recall is the matched
+    fraction."""
     return f"""
 SELECT b.query_id, round(count(l.vec_id) / 10.0, 6) AS recall
 FROM ({ANN_TOPK_SQL}) b
-LEFT JOIN ({ANN_LSH_SQL}) l USING (query_id, vec_id)
+LEFT JOIN ({approx_sql or ANN_LSH_SQL}) l USING (query_id, vec_id)
 GROUP BY b.query_id ORDER BY b.query_id
 """
 
@@ -4079,6 +4159,8 @@ QUERIES = {
     "q22_idle_customer_balance": q22_idle_customer_balance,
     "bigram_logprob_scores": bigram_logprob_scores,
     "ann_recall_eval": ann_recall_eval,
+    "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
+    "ann_recall_multiprobe": ann_recall_multiprobe,
     # rows-only / golden-verified in pytest (no SQL oracle)
     "structure_extract": structure_extract,
     "ocr_word_boxes": ocr_word_boxes,
@@ -4154,4 +4236,6 @@ ORACLE_SQL = {
     "q22_idle_customer_balance": Q22_SQL,
     "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,
     "ann_recall_eval": _ann_recall_sql(),
+    "ann_lsh_multiprobe_topk": _ann_lsh_multiprobe_sql(),
+    "ann_recall_multiprobe": _ann_recall_sql(_ann_lsh_multiprobe_sql()),
 }
