@@ -20,6 +20,21 @@ Scale patterns demonstrated (and used at 100 TB):
   - hash-partitioned Dataset.join only where both sides are large;
   - per-group windowing via groupby(key).map_groups over ts-sorted groups;
   - dedup keyed on content hashes, with in-group exact verification.
+
+Broadcast vs shuffle policy (the optimizer decision, stated once):
+a side is BROADCAST (ray.put once, read zero-copy per task) only when its
+size is bounded by something other than the fact table — a dimension
+(nation/region/segment/source), a pruned head (min_df vocabulary, eval
+n-gram set), a sketch (HLL registers, Bloom bitset, MG candidates <= a
+provable constant), or a query set. Anything FACT-cardinality (orders,
+parts, custkeys, per-doc maps, unpruned vocabularies) moves through a
+keyed exchange instead: Dataset.join, or the coarse hash(key) % P
+co-partition (`_bpart` / `_vocab_combine`) with a vectorized in-partition
+merge. Queries that ship orders-derived lookups via ray.put (q3, q10,
+q18 inner map, q5_nation_revenue_broadcast) are the SMALL-SIDE plan kept
+deliberately next to the big-big plan of the same join (q5, q4/q12/q13/
+q17/q22) — at 100 TB the planner picks by the measured side size against
+the object-store budget; both shapes are implemented and tested here.
 """
 
 from __future__ import annotations
