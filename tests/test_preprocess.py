@@ -185,3 +185,55 @@ def test_cell_patch_survives_model_input_chain_exactly():
     assert tensor.dtype == np.float32 and tensor.shape[1:3] == (3, 48)
     for (t, _), logits in zip(cases, StubCtcSession()(tensor)):
         assert ctc_greedy_decode(logits)[0] == t
+
+
+def test_word_boxes_identical_pixel_vs_tensor_path():
+    """emit_word_boxes must produce IDENTICAL texts, confidences and
+    per-character boxes whether recognition reads stub pixels or runs the
+    model-input tensor chain — the CTC column math is shared, so any
+    divergence means the session wiring changed semantics. Includes a
+    flipped line (second-session-call retry) and a skewed line
+    (ImageRotation unrotate before preprocess)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from oar_ocr_ray.fixtures import skew_text_patch, text_patch
+    from oar_ocr_ray.rectify import rotate_about_center
+    from oar_ocr_ray.stages.media import BBOX_FIELDS, CROP_FIELDS, Recognize
+
+    crops = [text_patch("Hello world", 10),
+             np.rot90(text_patch("Flipped line", 12), 2).copy()]
+    p = skew_text_patch("Skewed+text", 12)
+    pad = 6
+    canvas = np.full((12 + 2 * pad, p.shape[1] + 2 * pad), 255, np.uint8)
+    canvas[pad:pad + 12, pad:pad + p.shape[1]] = p
+    rot = rotate_about_center(canvas, 2.4, fill=255)
+    ys, xs = np.nonzero(rot < 128)
+    crops.append(rot[ys.min():ys.max() + 1, xs.min():xs.max() + 1])
+
+    cols = {"doc_id": pa.array(["d"] * len(crops), pa.string()),
+            "text": pa.array([""] * len(crops), pa.string())}
+    for (name, typ), vals in zip(
+        CROP_FIELDS,
+        [[c.tobytes() for c in crops],
+         [c.shape[0] for c in crops],
+         [c.shape[1] for c in crops],
+         [c.shape[1] / c.shape[0] for c in crops]],
+    ):
+        cols[name] = pa.array(vals, typ)
+    for (name, typ), vals in zip(
+        BBOX_FIELDS,
+        [[0.0] * len(crops), [0.0] * len(crops),
+         [float(c.shape[1]) for c in crops],
+         [float(c.shape[0]) for c in crops]],
+    ):
+        cols[name] = pa.array(vals, typ)
+    batch = pa.table(cols)
+
+    pix = Recognize(emit_word_boxes=True)(batch).to_pydict()
+    ten = Recognize(emit_word_boxes=True, model_input=True)(batch).to_pydict()
+    assert pix["text"] == ten["text"]
+    assert sorted(pix["text"]) == sorted(["Hello world", "Flipped line",
+                                          "Skewed+text"])
+    assert pix["word_boxes"] == ten["word_boxes"]
+    assert any(wb for wb in pix["word_boxes"])  # boxes actually emitted
