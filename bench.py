@@ -80,7 +80,10 @@ def corpus_dir() -> dict:
     return meta
 
 
-STRUCT_PAGES = int(os.environ.get("BENCH_STRUCT_PAGES", "5000"))
+# 20k pages is the criterion regime: at 5k the job is ~3 s and fixed Ray
+# overhead dominates the 8->32 ratio (see BASELINE.md round 3). First
+# --scaling call generates the corpus once (~10 min, cached in /tmp).
+STRUCT_PAGES = int(os.environ.get("BENCH_STRUCT_PAGES", "20000"))
 
 
 def structure_corpus_dir() -> dict:
