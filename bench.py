@@ -104,25 +104,18 @@ def structure_corpus_dir() -> dict:
     return meta
 
 
-def run_structure(meta: dict, num_cpus: int, repeats: int = 3) -> tuple[float, int]:
+def run_structure(meta: dict, repeats: int = 3) -> tuple[float, int]:
     """Best-of-N wall time for the full PP-StructureV3 page pipeline over
     the scaling corpus — the per-page actor stage has NO shuffle, so it
-    should scale embarrassingly with CPUs (the --scaling structure leg)."""
-    import ray
-    import ray.data
-
-    from oar_ocr_ray.stages.media import cached_stage
-    from oar_ocr_ray.stages.structure_stage import StructureExtract
+    should scale embarrassingly with CPUs (the --scaling structure leg).
+    The DAG (bucket-local blocks over the bucket-sorted refs manifest)
+    comes from the one shared builder in pipelines/structure.py."""
+    from oar_ocr_ray.pipelines.structure import build_structure_pipeline
 
     def build():
-        # blocks = bucket count: the refs manifest is bucket-sorted, so
-        # each task's pages land in 1-2 bucket files (bucket locality —
-        # 64 unaligned blocks measured 4.1 s vs 3.0 s aligned at 5k/32cpu)
-        ds = ray.data.read_parquet(
-            meta["refs_path"], override_num_blocks=int(meta.get("n_buckets", 32)))
-        return ds.map_batches(
-            cached_stage(StructureExtract, media_dir=meta["media_dir"]),
-            batch_format="pyarrow", batch_size=None,
+        return build_structure_pipeline(
+            meta["refs_path"], meta["media_dir"],
+            n_buckets=int(meta.get("n_buckets", 32)),
         )
 
     build().count()  # warm-up: workers + media store
@@ -327,7 +320,7 @@ if __name__ == "__main__":
                  ignore_reinit_error=True, logging_level="ERROR")
         tune_data_context()
         meta = structure_corpus_dir()
-        dt, n = run_structure(meta, NUM_CPUS)
+        dt, n = run_structure(meta)
         ray.shutdown()
         print(json.dumps({
             "metric": "structure_extract_sec", "value": round(dt, 3), "unit": "sec",

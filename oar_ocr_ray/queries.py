@@ -1701,9 +1701,12 @@ UNION ALL SELECT * FROM empties
 MINHASH_BANDS_SQL = _minhash_bands_sql()
 
 
-def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nbits: int = 8):
+def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nbits: int = 8,
+                 multiprobe: bool = False):
     """LSH-bucketed ANN: vectors bucketed by random hyperplanes; queries
-    scored only against their own bucket (approximate, shuffle-free)."""
+    scored only against their own bucket (approximate, shuffle-free).
+    multiprobe=True widens each query's probe set with every 1-bit-flip
+    neighbour bucket (Lv et al. 2007) — the recall lever."""
     import ray
 
     from .functions.ann import BruteForceScorer, HyperplaneLsh, topk_reduce, _normalize
@@ -1714,6 +1717,8 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, nbits: int = 8):
     qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
     qbuckets = lsh.bucket(qm)
     wanted = set(int(b) for b in qbuckets)
+    if multiprobe:
+        wanted |= {int(b) ^ (1 << i) for b in qbuckets for i in range(nbits)}
     queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": qm})
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1831,17 +1836,14 @@ def structure_extract(sf_dir: str):
     import ray
 
     meta = _structure_corpus(sf_dir)
-    # the refs manifest is one tiny file -> one block -> SERIAL execution
-    # unless split. Blocks = bucket count: the manifest is written sorted
-    # by media bucket, so each task's refs land in 1-2 bucket files
-    # (bucket locality); more blocks than buckets just multiplies per-task
-    # bucket loads (measured: 64 blocks 4.1 s vs 32 blocks 3.0 s at 5k
-    # pages / 32 cpus, raw-Ray floor 1.9 s)
-    n_blocks = int(meta.get("n_buckets", 16))
-    ds = ray.data.read_parquet(meta["refs_path"], override_num_blocks=n_blocks)
-    return ds.map_batches(
-        cached_stage(StructureExtract, media_dir=meta["media_dir"]),
-        batch_format="pyarrow", batch_size=None,
+    # ONE shared DAG builder (pipelines/structure.py) holds the bucket-
+    # locality tuning: the refs manifest is bucket-sorted and blocks =
+    # bucket count, so each task's refs land in 1-2 bucket files
+    from .pipelines.structure import build_structure_pipeline
+
+    return build_structure_pipeline(
+        meta["refs_path"], meta["media_dir"],
+        n_buckets=int(meta.get("n_buckets", 16)),
     )
 
 
@@ -2928,12 +2930,15 @@ def unigram_logprob_scores(sf_dir: str, min_count: int = 2):
     vocab_ds = _vocab_combine(
         ds.map_batches(count_partial, batch_format="pandas"), "word"
     ).materialize()  # post-combine = vocab-sized; one token sweep
-    total = int(vocab_ds.sum("n"))  # distributed scalar; no vocab collect
+    total = int(vocab_ds.sum("n") or 0)  # distributed scalar; no collect
     vocab = vocab_ds.filter(expr=f"n >= {int(min_count)}").to_pandas()
-    lpm = round_half_away(
-        np.log(vocab["n"].to_numpy(dtype=np.float64) / total) * 1e6, 0
-    ).astype(np.int64)
-    lpm_oov = int(round_half_away(np.log(1.0 / total) * 1e6, 0))
+    if total > 0:
+        lpm = round_half_away(
+            np.log(vocab["n"].to_numpy(dtype=np.float64) / total) * 1e6, 0
+        ).astype(np.int64)
+        lpm_oov = int(round_half_away(np.log(1.0 / total) * 1e6, 0))
+    else:  # token-free corpus: every doc scores (0 tokens, mean 0.0)
+        lpm, lpm_oov = np.array([], dtype=np.int64), 0
     lpm_ref = ray.put((dict(zip(vocab["word"], lpm)), lpm_oov))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -3540,37 +3545,24 @@ def ann_lsh_multiprobe_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     own bucket PLUS every 1-bit-flip neighbour (nbits+1 buckets), trading
     a bounded widening of the candidate set for recall — the standard
     production lever when single-bucket LSH recall is too low (measured
-    here by ann_recall_eval / ann_recall_multiprobe). Same shuffle-free
-    shape as ann_lsh_topk: bucket in map_batches, candidate filter against
-    the broadcast probe set, per-batch partial top-k."""
-    import ray
+    here by ann_recall_eval / ann_recall_multiprobe). Same pipeline as
+    ann_lsh_topk with the widened probe set."""
+    return ann_lsh_topk(sf_dir, k=k, n_queries=n_queries, nbits=nbits,
+                        multiprobe=True)
 
-    from .functions.ann import BruteForceScorer, HyperplaneLsh, _normalize, topk_reduce
 
-    qdf = _query_vectors(sf_dir, n_queries)
-    dim = len(qdf["embedding"].iloc[0])
-    lsh = HyperplaneLsh(dim, nbits=nbits)
-    qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
-    wanted = set()
-    for b in lsh.bucket(qm):
-        wanted.add(int(b))
-        for i in range(nbits):
-            wanted.add(int(b) ^ (1 << i))
-    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": qm})
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    filtered = (
-        ds.map_batches(lambda df: lsh(df), batch_format="pandas")
-        .map_batches(lambda df: df[df["bucket"].isin(wanted)].drop(columns=["bucket"]),
-                     batch_format="pandas")
-    )
-    partials = filtered.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
-        batch_format="pandas",
-        concurrency=2,
-    )
-    return topk_reduce(partials.to_pandas(), k)
+def _recall_vs_brute(sf_dir: str, approx: pd.DataFrame, k: int) -> pd.DataFrame:
+    """recall@k of an approximate-index result against exact brute force:
+    both legs are k-row-per-query tables; only they meet on the driver."""
+    brute = ann_topk(sf_dir, k=k)
+    m = brute.merge(approx[["query_id", "vec_id"]].assign(hit=np.int64(1)),
+                    on=["query_id", "vec_id"], how="left")
+    rec = m.groupby("query_id", as_index=False)["hit"].agg(
+        lambda s: float(s.notna().sum()))
+    return pd.DataFrame({
+        "query_id": rec["query_id"].to_numpy(),
+        "recall": round_half_away(rec["hit"].to_numpy(dtype=np.float64) / k, 6),
+    }).sort_values("query_id").reset_index(drop=True)
 
 
 def _ann_lsh_multiprobe_sql(nbits: int = 8) -> str:
@@ -3601,16 +3593,7 @@ def ann_recall_multiprobe(sf_dir: str, k: int = 10):
     """recall@k of the MULTI-PROBE LSH index vs exact brute force — the
     companion measurement to ann_recall_eval showing what the 1-bit-flip
     probe widening buys."""
-    brute = ann_topk(sf_dir, k=k)
-    mp = ann_lsh_multiprobe_topk(sf_dir, k=k)
-    m = brute.merge(mp[["query_id", "vec_id"]].assign(hit=np.int64(1)),
-                    on=["query_id", "vec_id"], how="left")
-    rec = m.groupby("query_id", as_index=False)["hit"].agg(
-        lambda s: float(s.notna().sum()))
-    return pd.DataFrame({
-        "query_id": rec["query_id"].to_numpy(),
-        "recall": round_half_away(rec["hit"].to_numpy(dtype=np.float64) / k, 6),
-    }).sort_values("query_id").reset_index(drop=True)
+    return _recall_vs_brute(sf_dir, ann_lsh_multiprobe_topk(sf_dir, k=k), k)
 
 
 def ann_recall_eval(sf_dir: str, k: int = 10):
@@ -3621,18 +3604,7 @@ def ann_recall_eval(sf_dir: str, k: int = 10):
     matrix, per-batch partial top-k; LSH: hyperplane buckets, bucket-
     filtered scoring); only the two k-row result sets meet on the driver.
     recall = |lsh ∩ brute| / k, exact (k-denominator rational)."""
-    brute = ann_topk(sf_dir, k=k)
-    lsh = ann_lsh_topk(sf_dir, k=k)
-    m = brute.merge(
-        lsh[["query_id", "vec_id"]].assign(hit=np.int64(1)),
-        on=["query_id", "vec_id"], how="left",
-    )
-    rec = m.groupby("query_id", as_index=False)["hit"].agg(
-        lambda s: float(s.notna().sum()))
-    return pd.DataFrame({
-        "query_id": rec["query_id"].to_numpy(),
-        "recall": round_half_away(rec["hit"].to_numpy(dtype=np.float64) / k, 6),
-    }).sort_values("query_id").reset_index(drop=True)
+    return _recall_vs_brute(sf_dir, ann_lsh_topk(sf_dir, k=k), k)
 
 
 def _ann_recall_sql(approx_sql: str | None = None) -> str:
@@ -3708,10 +3680,13 @@ def bigram_logprob_scores(sf_dir: str, min_count: int = 2):
     # whole token sweep for the total AND again for the prune
     total = int(vocab_ds.sum("n") or 0)
     vocab = vocab_ds.filter(expr=f"n >= {int(min_count)}").to_pandas()
-    lpm = round_half_away(
-        np.log(vocab["n"].to_numpy(dtype=np.float64) / total) * 1e6, 0
-    ).astype(np.int64)
-    lpm_oov = int(round_half_away(np.log(1.0 / total) * 1e6, 0))
+    if total > 0:
+        lpm = round_half_away(
+            np.log(vocab["n"].to_numpy(dtype=np.float64) / total) * 1e6, 0
+        ).astype(np.int64)
+        lpm_oov = int(round_half_away(np.log(1.0 / total) * 1e6, 0))
+    else:  # no doc has 2+ tokens: every doc scores (0 bigrams, mean 0.0)
+        lpm, lpm_oov = np.array([], dtype=np.int64), 0
     lpm_ref = ray.put((dict(zip(vocab["gram"], lpm)), lpm_oov))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:

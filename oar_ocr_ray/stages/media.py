@@ -604,15 +604,17 @@ class Recognize:
             # 0/180 text-line orientation policy as a second session call)
             lg = self._session_logits([arrs[j] for j in order_list], max_wh)
             logits_by_j = dict(zip(order_list, lg))
-            retry = [j for j in order_list
-                     if not ctc_greedy_decode(logits_by_j[j])[0]]
+            decoded = {j: ctc_greedy_decode(logits_by_j[j]) for j in order_list}
+            retry = [j for j in order_list if not decoded[j][0]]
             if retry:
                 lg2 = self._session_logits(
                     [np.ascontiguousarray(np.rot90(arrs[j], 2)) for j in retry],
                     max_wh)
                 for j, l2 in zip(retry, lg2):
-                    if ctc_greedy_decode(l2)[0]:
+                    d2 = ctc_greedy_decode(l2)
+                    if d2[0]:
                         logits_by_j[j] = l2
+                        decoded[j] = d2
         else:
             for j in order_list:
                 # text-line orientation stage (PP-LCNet 0/180 classes,
@@ -627,7 +629,9 @@ class Recognize:
                 logits_by_j[j] = encode_ctc_logits(raw)
         for j in order_list:  # batch processed in wh-ratio order
             logits = logits_by_j[j]
-            text, conf, cols = ctc_greedy_decode(logits)
+            # tensor path already decoded during the retry scan — reuse
+            text, conf, cols = (decoded[j] if self.model_input
+                                else ctc_greedy_decode(logits))
             texts[j] = text  # scatter back by original index (ocr.rs:797)
             confs[j] = conf
             if self.emit_word_boxes and text:

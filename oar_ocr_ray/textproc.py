@@ -95,19 +95,30 @@ def strip_boilerplate_series(s: pd.Series) -> pd.Series:
     return s.str.strip()
 
 
+# RE2 class equal to Python re's Unicode \s: ASCII whitespace + the file
+# separators \x1c-\x1f + NEL \x85 + space separators \p{Zs} (NBSP, em/en
+# spaces, ideographic space, ...) + line/paragraph separators. RE2's own
+# \s is ASCII-only, which silently diverges from the Python-re golden
+# implementations on e.g. NBSP inside a boilerplate line.
+_RE2_UNICODE_WS = r"[\t\n\v\f\r\x1c-\x1f \x85\p{Zs}\x{2028}\x{2029}]"
+
+
 def strip_boilerplate_arrow(arr):
     """Arrow-native strip_boilerplate: the same four regex passes as
     strip_boilerplate_series but as pyarrow.compute
     replace_substring_regex kernels (RE2, true C vectorization — the
     patterns use only RE2-supported syntax: inline (?im), alternation,
-    classes; no backrefs/lookarounds). Zero pandas round-trip: this is
-    the flagship text-span path, so batches stay Arrow end-to-end.
-    Property-tested equal to the pandas/scalar implementations."""
+    classes; no backrefs/lookarounds; \\s rewritten to the explicit
+    Unicode-whitespace class so RE2 matches Python re's semantics).
+    Zero pandas round-trip: this is the flagship text-span path, so
+    batches stay Arrow end-to-end. Property-tested equal to the
+    pandas/scalar implementations, including NBSP/Unicode whitespace."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    boiler = _BOILER_LINE_ML.pattern.replace(r"\s", _RE2_UNICODE_WS)
     x = pc.fill_null(arr, "")
-    x = pc.replace_substring_regex(x, pattern=_BOILER_LINE_ML.pattern, replacement="")
+    x = pc.replace_substring_regex(x, pattern=boiler, replacement="")
     x = pc.replace_substring_regex(x, pattern=_WS.pattern, replacement=" ")
     x = pc.replace_substring_regex(x, pattern=_NL_WS.pattern, replacement="\n")
     x = pc.replace_substring_regex(x, pattern=_MULTI_NL.pattern, replacement="\n")

@@ -107,6 +107,14 @@ def test_strip_boilerplate_arrow_matches_series_and_scalar():
         "back to top\nBACK TO TOP\n related articles: \nbody",
         "© 2024 Corp all rights\nnext", "no boiler at all",
         "\n\n\n", "a\nb\nc", "trailing spaces   \nline   ", None,
+        # Unicode whitespace: RE2's \s is ASCII-only, so the Arrow path
+        # rewrites it to an explicit class — NBSP / en-space / ideographic
+        # space inside boilerplate lines must strip identically
+        "home |\xa0about | contact\nkeep",
+        "©\xa02024 Corp\nnext",
+        "[ ad　]\nbody",
+        "share\xa0this on x\nnot boiler (nbsp is not a literal space)",
+        "line\u2028Advertisement\u2029end",  # LS/PS: python \s, not newline
     ]
     rng = np.random.default_rng(3)
     lines_pool = ["Advertisement", "back to top", "plain line", "x  y\tz",
