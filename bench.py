@@ -67,7 +67,11 @@ def corpus_dir() -> dict:
     """Generate (once, cached) the bench corpus in /tmp."""
     import json as _json
 
-    d = os.path.join("/tmp", f"oar_bench_corpus_v1_{BENCH_DOCS}_{SEED}")
+    from oar_ocr_ray.fixtures import ENCODING_VERSION
+
+    d = os.path.join(
+        "/tmp", f"oar_bench_corpus_e{ENCODING_VERSION}_{BENCH_DOCS}_{SEED}"
+    )
     meta_path = os.path.join(d, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -90,7 +94,9 @@ def structure_corpus_dir() -> dict:
     """Generate (once, cached) the structure-page scaling corpus in /tmp."""
     import json as _json
 
-    d = os.path.join("/tmp", f"oar_bench_struct_v2_{STRUCT_PAGES}")
+    from oar_ocr_ray.fixtures import ENCODING_VERSION
+
+    d = os.path.join("/tmp", f"oar_bench_struct_e{ENCODING_VERSION}_{STRUCT_PAGES}")
     meta_path = os.path.join(d, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -98,7 +104,9 @@ def structure_corpus_dir() -> dict:
     from oar_ocr_ray.fixtures import write_structure_corpus
 
     os.makedirs(d, exist_ok=True)
-    meta = write_structure_corpus(d, STRUCT_PAGES, seed=7, n_media_buckets=32)
+    # 64 buckets = 2x tasks per CPU at num_cpus=32, so one ambient straggler
+    # no longer bounds the wall (round-3 ran 32 bucket-aligned tasks).
+    meta = write_structure_corpus(d, STRUCT_PAGES, seed=7, n_media_buckets=64)
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
     return meta

@@ -92,6 +92,12 @@ TAG_BASE = 10
 TAG_STEP = 20
 DEFAULT_MEDIA_BUCKETS = 16
 
+# Bump whenever the pixel-text encoding (or anything a cached corpus bakes
+# in) changes incompatibly — bench.py embeds this in its /tmp cache keys so
+# a stale cached corpus can never silently feed an incompatible decoder
+# (round-3 advice: the v1 flagship key survived the 3-px-cell redefinition).
+ENCODING_VERSION = 2
+
 # pixel-text cell encoding (see module docstring): each [len]/[char] value
 # occupies a CELL_W-wide constant column band; rows are identical
 CELL_W = 3

@@ -2506,7 +2506,18 @@ FROM documents
 """
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
+# Defaults shared between the Python queries and their registered SQL
+# oracles (the SQL below is f-string-built from these, so calling the
+# Python function with its defaults ALWAYS matches the oracle — round-3
+# advice: the constants used to be hardcoded on the SQL side only).
+TFIDF_K = 3
+TFIDF_MIN_DF = 2
+PER_SOURCE_CAP_N = 20
+MG_FRAC_DEN = 30
+LM_MIN_COUNT = 2
+
+
+def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K, min_df: int = TFIDF_MIN_DF,
                     vocab_topk: int | None = None):
     """Per-document top-k TF-IDF terms — the classic keyword-extraction /
     quality-signal step. Two streaming passes:
@@ -2587,7 +2598,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
     return ds.map_batches(score, batch_format="pandas")
 
 
-TFIDF_SQL = r"""
+TFIDF_SQL = rf"""
 WITH words AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
@@ -2598,13 +2609,13 @@ WITH words AS (
 ), dfreq AS (
   SELECT term, count(DISTINCT doc_id) AS df
   FROM words WHERE term <> '' GROUP BY term
-  HAVING count(DISTINCT doc_id) >= 2
+  HAVING count(DISTINCT doc_id) >= {TFIDF_MIN_DF}
 ), n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT tf.doc_id, tf.term,
        round(tf.tf * round(ln(n.n_docs * 1.0 / dfreq.df), 6), 6) AS score
 FROM tf JOIN dfreq USING (term) CROSS JOIN n
 QUALIFY row_number() OVER (
-  PARTITION BY tf.doc_id ORDER BY score DESC, tf.term) <= 3
+  PARTITION BY tf.doc_id ORDER BY score DESC, tf.term) <= {TFIDF_K}
 """
 
 
@@ -2901,7 +2912,7 @@ FROM afull f
 """)
 
 
-def unigram_logprob_scores(sf_dir: str, min_count: int = 2):
+def unigram_logprob_scores(sf_dir: str, min_count: int = LM_MIN_COUNT):
     """CCNet-style LM quality scoring with a corpus-trained unigram model:
     per-doc mean token log-probability. Exact-parity trick: log-probs are
     quantized to INTEGER micro-nats (round(ln(count/total)*1e6)), so the
@@ -2968,7 +2979,7 @@ def unigram_logprob_scores(sf_dir: str, min_count: int = 2):
     return ds.map_batches(score, batch_format="pandas")
 
 
-UNIGRAM_LOGPROB_SQL = r"""
+UNIGRAM_LOGPROB_SQL = rf"""
 WITH words AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
@@ -2985,7 +2996,7 @@ vocab AS (
          CAST(round(ln(count(*) * 1.0 / (SELECT n FROM tot)) * 1000000)
               AS BIGINT) AS lpm
   FROM w GROUP BY word
-  HAVING count(*) >= 2
+  HAVING count(*) >= {LM_MIN_COUNT}
 ), per_doc AS (
   SELECT w.doc_id, count(*) AS n_tokens,
          sum(COALESCE(v.lpm, (SELECT lpm FROM oov))) AS total_lpm
@@ -3328,7 +3339,7 @@ FROM ranked
 """
 
 
-def per_source_cap(sf_dir: str, cap: int = 20):
+def per_source_cap(sf_dir: str, cap: int = PER_SOURCE_CAP_N):
     """C4/CCNet-style per-source document cap: keep at most `cap` docs per
     source, selected deterministically by md5 hash order (a seeded
     reservoir that is reshard-stable). Scale shape: per-batch PARTIAL
@@ -3363,11 +3374,11 @@ def per_source_cap(sf_dir: str, cap: int = 20):
     )
 
 
-PER_SOURCE_CAP_SQL = """
+PER_SOURCE_CAP_SQL = f"""
 SELECT doc_id, source FROM documents
 QUALIFY row_number() OVER (
   PARTITION BY source
-  ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+  ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) <= {PER_SOURCE_CAP_N}
 """
 
 
@@ -3423,8 +3434,12 @@ GOPHER_CASCADE_SQL = r"""
 WITH t AS (
   SELECT doc_id, trim(COALESCE(text, '')) AS txt FROM documents
 ), w AS (
-  SELECT doc_id, unnest(regexp_split_to_array(txt, '\s+')) AS word
-  FROM t WHERE txt <> ''
+  -- word <> '' mirrors Python .strip().split(): \s+ splitting of text with
+  -- leading/trailing tabs/newlines yields empty tokens that must not count
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(txt, '\s+')) AS word
+    FROM t WHERE txt <> ''
+  ) WHERE word <> ''
 ), s AS (
   SELECT t.doc_id,
          COALESCE(count(w.word), 0) AS n,
@@ -3453,7 +3468,7 @@ FROM s
 """
 
 
-def mg_heavy_hitters(sf_dir: str, frac_den: int = 30, sketch_k: int = 32):
+def mg_heavy_hitters(sf_dir: str, frac_den: int = MG_FRAC_DEN, sketch_k: int = 32):
     """Frequent-words via a mergeable Misra-Gries sketch (Misra & Gries
     1982; merge bound Agarwal et al. 2012) + an exact verification pass —
     the third mergeable summary alongside HLL and Bloom. Returns every
@@ -3527,7 +3542,7 @@ def mg_heavy_hitters(sf_dir: str, frac_den: int = 30, sketch_k: int = 32):
                            kind="stable").reset_index(drop=True)
 
 
-MG_HEAVY_HITTERS_SQL = r"""
+MG_HEAVY_HITTERS_SQL = rf"""
 WITH w AS (
   SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
   FROM documents WHERE trim(text) <> ''
@@ -3535,7 +3550,7 @@ WITH w AS (
 tot AS (SELECT count(*) AS n FROM ww),
 c AS (SELECT word, count(*) AS cnt FROM ww GROUP BY word)
 SELECT word, cnt FROM c
-WHERE cnt * 30 > (SELECT n FROM tot)
+WHERE cnt * {MG_FRAC_DEN} > (SELECT n FROM tot)
 """
 
 
@@ -3627,9 +3642,14 @@ def _vocab_combine(partials, key: str, val: str = "n", n_parts: int = 64):
     measured ~3x cheaper than Dataset.groupby(key).aggregate(Sum) at toy
     scale (the full-width sort aggregate carries ~8 s fixed overhead)."""
     def add_vp(df: pd.DataFrame) -> pd.DataFrame:
+        # md5 (version-independent): pd.util.hash_array over object keys is
+        # only stable within one pandas version, so a mixed-version cluster
+        # would split a key across partitions and emit duplicate partials
+        from .functions.dedup import md5_lower64_batch
+
         df = df.copy()
-        df["vp"] = (pd.util.hash_array(df[key].to_numpy(dtype=object))
-                    % n_parts).astype(np.int64)
+        df["vp"] = (md5_lower64_batch(str(x) for x in df[key])
+                    % np.uint64(n_parts)).astype(np.int64)
         return df
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -3639,7 +3659,7 @@ def _vocab_combine(partials, key: str, val: str = "n", n_parts: int = 64):
             .groupby("vp").map_groups(combine, batch_format="pandas"))
 
 
-def bigram_logprob_scores(sf_dir: str, min_count: int = 2):
+def bigram_logprob_scores(sf_dir: str, min_count: int = LM_MIN_COUNT):
     """Order-2 LM quality scoring (the CCNet-style LM filter one order up
     from unigram_logprob_scores): per-doc mean JOINT bigram log-probability
     in exact integer micro-nats. Same parity scheme as the unigram scorer
@@ -3711,7 +3731,7 @@ def bigram_logprob_scores(sf_dir: str, min_count: int = 2):
     return ds.map_batches(score, batch_format="pandas")
 
 
-BIGRAM_LOGPROB_SQL = _TOKS_CTE + r""", bg AS (
+BIGRAM_LOGPROB_SQL = _TOKS_CTE + rf""", bg AS (
   SELECT doc_id, word || ' ' || lead(word, 1) OVER w AS gram
   FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
   QUALIFY lead(word, 1) OVER w IS NOT NULL
@@ -3725,7 +3745,7 @@ vocab AS (
          CAST(round(ln(count(*) * 1.0 / (SELECT n FROM tot)) * 1000000)
               AS BIGINT) AS lpm
   FROM bg GROUP BY gram
-  HAVING count(*) >= 2
+  HAVING count(*) >= {LM_MIN_COUNT}
 ), per_doc AS (
   SELECT bg.doc_id, count(*) AS n_bigrams,
          sum(COALESCE(v.lpm, (SELECT lpm FROM oov))) AS total_lpm
