@@ -32,27 +32,30 @@ def build_structure_pipeline(
     """Lazy per-page structure DAG: refs (optionally filtered to a bucket
     group) -> actor-pool StructureExtract. Blocks default to the bucket
     count so tasks stay bucket-local (see BASELINE.md round 3)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
     import ray.data
 
-    from ..fixtures import media_bucket
     from ..stages.media import cached_stage
     from ..stages.structure_stage import StructureExtract
 
     blocks = n_blocks if n_blocks else (len(buckets) if buckets else n_buckets)
+    flt = None
+    if buckets is not None:
+        # the manifest persists the bucket id as a column (bucket-sorted),
+        # so a bucket-group shard is a parquet predicate pushdown — whole
+        # row groups are skipped at the read; no Python runs per row
+        schema = pads.dataset(refs_path, format="parquet").schema
+        if "bucket" not in schema.names:
+            raise ValueError(
+                "bucket-group filtering needs the refs manifest's persisted "
+                "`bucket` column (written by write_structure_corpus); "
+                "regenerate the manifest — per-row bucket hashing in the "
+                "read path is deliberately unsupported")
+        flt = pads.field("bucket").isin(sorted(set(buckets)))
     ds = ray.data.read_parquet(
         refs_path, columns=["media_ref"], override_num_blocks=blocks,
+        filter=flt,
     )
-    if buckets is not None:
-        want = set(buckets)
-
-        def keep(batch: pa.Table) -> pa.Table:
-            refs = batch["media_ref"].to_pylist()
-            mask = [media_bucket(r, n_buckets) in want for r in refs]
-            return batch.filter(pa.array(mask, pa.bool_()))
-
-        ds = ds.map_batches(keep, batch_format="pyarrow")
     return ds.map_batches(
         cached_stage(StructureExtract, media_dir=media_dir,
                      min_line_area=min_line_area),

@@ -77,6 +77,27 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(_p(sf_dir, table), columns=columns)
 
 
+def _collect_broadcast(sf_dir: str, table: str, columns=None,
+                       max_rows: int = 2_000_000) -> pd.DataFrame:
+    """Gated driver collect of a table that a SMALL-SIDE (broadcast) join
+    plan is about to ray.put: the read goes through Ray (column-pruned,
+    distributed), the row count is checked from parquet metadata BEFORE
+    any data moves, and past `max_rows` the plan refuses loudly and names
+    the big-big alternative — the policy-header rule that fact-cardinality
+    sides never ship via ray.put ungated. Every broadcast-plan query
+    routes its driver table through here (no raw pd.read_parquet of any
+    testdata table anywhere)."""
+    ds = _read(sf_dir, table, columns)
+    n = ds.count()  # parquet metadata only
+    if n > max_rows:
+        raise ValueError(
+            f"broadcast plan refused: {table} has {n} rows > max_rows="
+            f"{max_rows}; use the co-partitioned big-big plan for this "
+            f"join (see the broadcast-vs-shuffle policy header) or raise "
+            f"the gate if the object-store budget allows it.")
+    return ds.to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style relational queries
 # ---------------------------------------------------------------------------
@@ -219,9 +240,9 @@ def q3_top_orders(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust = _collect_broadcast(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = pd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = _collect_broadcast(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     cutoff = np.datetime64("1997-01-01")
     om = orders[orders["o_custkey"].isin(building) & (orders["o_orderdate"].to_numpy() < cutoff)]
     okey_to_date = ray.put(dict(zip(om["o_orderkey"], om["o_orderdate"])))
@@ -273,8 +294,8 @@ def q5_nation_revenue(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
-    nation = pd.read_parquet(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust = _collect_broadcast(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _collect_broadcast(sf_dir, "nation", ["n_nationkey", "n_name"])
     cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
@@ -324,11 +345,11 @@ def q5_nation_revenue_broadcast(sf_dir: str):
     real optimizer picks when one side fits in memory."""
     import ray
 
-    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
-    nation = pd.read_parquet(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust = _collect_broadcast(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _collect_broadcast(sf_dir, "nation", ["n_nationkey", "n_name"])
     cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    orders = pd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders = _collect_broadcast(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     okey_to_name = ray.put(
         dict(zip(orders["o_orderkey"],
                  orders["o_custkey"].map(cust_nation).map(nation_name)))
@@ -354,7 +375,7 @@ def q14_promo_revenue(sf_dir: str):
     one month; conditional + total revenue partials, tiny driver reduce."""
     import ray
 
-    part = pd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    part = _collect_broadcast(sf_dir, "part", ["p_partkey", "p_type"])
     promo_ref = ray.put(set(part.loc[part["p_type"].str.startswith("PROMO"), "p_partkey"]))
     lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-02-01")
 
@@ -389,9 +410,9 @@ def q10_returned_revenue(sf_dir: str, k: int = 20):
     import ray
     from ray.data.aggregate import Sum
 
-    orders = pd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders = _collect_broadcast(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     ok_to_ck = ray.put(dict(zip(orders["o_orderkey"], orders["o_custkey"])))
-    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    cust = _collect_broadcast(sf_dir, "customer", ["c_custkey", "c_name"])
     names = dict(zip(cust["c_custkey"], cust["c_name"]))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -436,7 +457,7 @@ def q18_large_orders(sf_dir: str, min_qty: float = 200.0):
     in-partition, then broadcast orders for custkey/date attach."""
     import ray
 
-    orders = pd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = _collect_broadcast(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     ord_ref = ray.put(orders.set_index("o_orderkey")[["o_custkey", "o_orderdate"]])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1300,7 +1321,8 @@ def minhash_bands(sf_dir: str):
     return ds.map_batches(cached_stage(MinHasher), batch_format="pandas")
 
 
-def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8):
+def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8,
+                      max_candidates: int = 5_000_000):
     """Full near-dup flow: bands -> bucket groupby -> candidate pairs ->
     exact n-gram Jaccard verification.
 
@@ -1314,6 +1336,15 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8):
     inside map_batches; the (id -> shingle set) table — again
     candidate-sized — is broadcast back and each candidate-pair batch
     verifies vectorized.
+
+    The "duplicate-bounded" premise is ADVERSARIALLY BOUNDED, not assumed
+    (no-silent-caps rule): a dup-heavy corpus (one giant near-dup cluster
+    of size s yields s(s-1)/2 candidates — corpus-QUADRATIC) would make
+    the candidate collect driver-fatal, so the materialized candidate
+    count is checked first and past `max_candidates` the query refuses
+    LOUDLY, naming the levers (cluster-capping via minhash_dup_clusters'
+    representative semantics, a higher threshold/band config, or a raised
+    gate). Verified by the dup-heavy stress test in test_dedup.py.
     """
     import ray
 
@@ -1345,8 +1376,21 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8):
                           "jaccard": pd.Series(dtype="float64")})
     cand_ds = (minhash_bands(sf_dir)
                .map_batches(add_bpart, batch_format="pandas")
-               .groupby("bpart").map_groups(bucket_pairs, batch_format="pandas"))
-    # candidate pairs are duplicate-bounded (small); dedup across bands here
+               .groupby("bpart").map_groups(bucket_pairs, batch_format="pandas")
+               .materialize())  # count + collect without re-running the shuffle
+    n_cand = cand_ds.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"minhash_dup_pairs: candidate set has {n_cand} pairs > "
+            f"max_candidates={max_candidates} — the corpus is dup-heavy "
+            f"enough that candidates are no longer duplicate-bounded "
+            f"(a near-dup cluster of size s emits s(s-1)/2 pairs). Use "
+            f"minhash_dup_clusters (representative semantics, linear in "
+            f"cluster size), tighten the band config / threshold, or raise "
+            f"max_candidates if the driver budget allows it.")
+    logging.getLogger(__name__).info(
+        "minhash_dup_pairs: %d candidate pairs (cap %d)", n_cand, max_candidates)
+    # candidate pairs are duplicate-bounded (gate-checked); dedup across bands
     cand = cand_ds.to_pandas().drop_duplicates()
     if len(cand) == 0:
         return empty
@@ -1861,14 +1905,21 @@ def distinct_sources(sf_dir: str):
 DISTINCT_SOURCES_SQL = "SELECT DISTINCT source FROM documents"
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
+def embedding_near_dup(sf_dir: str, threshold: float = 0.45,
+                       max_exact_rows: int = 200_000):
     """Embedding-cosine near-duplicate pairs, EXACT: the normalized corpus
     matrix is broadcast once (ray.put), each batch computes its block of
     the similarity matrix in one matmul and keeps pairs with
     round(cos, 6) >= threshold (vec_a < vec_b dedups the symmetric half).
 
     O(n^2/B) work spread over batches — the exact baseline the LSH variant
-    (`embedding_near_dup_lsh`) approximates at corpus scale. The testdata
+    (`embedding_near_dup_lsh`) approximates at corpus scale. The broadcast
+    side is fact-cardinality by definition here, so it is HARD-GATED: the
+    row count is checked first (parquet metadata, no data read) and past
+    `max_exact_rows` this variant refuses loudly and points at the LSH
+    scale path — per the broadcast-vs-shuffle policy header (queries.py
+    top): fact tables never ship via ray.put ungated. The gated collect
+    goes through a Ray read, not a driver-side file read. The testdata
     embeddings are near-random (max off-diagonal cosine ~0.51), so the
     threshold sits at 0.45 to make the result non-empty and falsifiable.
     """
@@ -1876,7 +1927,15 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
 
     from .functions.ann import _normalize, embedding_matrix
 
-    ref_df = pd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
+    if n > max_exact_rows:
+        raise ValueError(
+            f"embedding_near_dup is the exact O(n^2) baseline and broadcasts "
+            f"the full corpus matrix; this corpus has {n} rows > "
+            f"max_exact_rows={max_exact_rows}. Use embedding_near_dup_lsh "
+            f"(the LSH-bucketed scale path) or raise max_exact_rows.")
+    ref_df = ds.to_pandas()  # gate-bounded collect via the Ray read
     all_ref = ray.put({
         "ids": ref_df["vec_id"].to_numpy(),
         "matrix": _normalize(np.stack(ref_df["embedding"].to_numpy()).astype(np.float64)),
@@ -1899,7 +1958,6 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
         return pd.DataFrame({"vec_a": ids[bi], "vec_b": corpus["ids"][ci],
                              "cosine": sim[bi, ci]})
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ds.map_batches(block_pairs, batch_format="pandas").to_pandas()
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
@@ -2248,8 +2306,8 @@ FROM part GROUP BY p_brand
 def supplier_balance_by_region(sf_dir: str):
     """supplier -> nation -> region broadcast-map join; avg balance per
     region (small dimensions broadcast, no shuffle)."""
-    nation = pd.read_parquet(_p(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
-    region = pd.read_parquet(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    nation = _collect_broadcast(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _collect_broadcast(sf_dir, "region", ["r_regionkey", "r_name"])
     nk_to_region = dict(
         zip(nation["n_nationkey"], nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))))
     )

@@ -230,3 +230,23 @@ def test_global_shuffle_rank_is_permutation(tmp_path):
     assert_equal(got, oracle(d, GLOBAL_SHUFFLE_SQL))
     assert sorted(got["pos"]) == list(range(257))  # exact permutation
     assert set(got["shard"]) == set(range(16))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_candidate_cap_fires_loudly(tmp_path):
+    """Dup-heavy stress (the no-silent-caps rule): one giant near-dup
+    cluster makes the LSH candidate set corpus-QUADRATIC (s identical docs
+    -> s(s-1)/2 pairs), so the 'duplicate-bounded collect' premise breaks
+    — minhash_dup_pairs must refuse LOUDLY at the gate, and pass exactly
+    under the default gate on the same corpus."""
+    from oar_ocr_ray.queries import minhash_dup_pairs
+
+    rows = [{"doc_id": i, "source": "s",
+             "text": "alpha beta gamma delta epsilon zeta eta theta"}
+            for i in range(40)]
+    d = write_docs(tmp_path, rows, n_files=4)
+    with pytest.raises(ValueError, match="max_candidates"):
+        minhash_dup_pairs(d, max_candidates=100)
+    out = minhash_dup_pairs(d)  # default gate: exact full verification
+    assert len(out) == 40 * 39 // 2
+    assert (out["jaccard"].to_numpy() == 1.0).all()
