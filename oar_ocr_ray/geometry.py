@@ -442,6 +442,72 @@ def box_score_fast(bitmap: np.ndarray, box: np.ndarray) -> float:
     return float(region.mean()) if region.size else 0.0
 
 
+def db_boxes_from_bitmap(
+    prob: np.ndarray,
+    thresh: float = 0.3,
+    box_thresh: float = 0.6,
+    unclip_ratio: float = 1.5,
+    max_candidates: int = 1000,
+    min_size: float = 3.0,
+    score_mode: str = "fast",
+) -> tuple[np.ndarray, np.ndarray]:
+    """The REAL DB detection postprocess over a probability heatmap — the
+    reference's boxes_from_bitmap chain (db_bitmap.rs:81-142, defaults from
+    db_postprocess.rs:67-88 / db.rs:48-60):
+
+      binarize prob > thresh -> contour candidates (component boxes here,
+      capped at max_candidates largest-first) -> min_size side filter ->
+      box score >= box_thresh -> unclip_box(ratio) ->
+      min_area_rect -> (min_size + 2) side filter -> round + clamp.
+
+    score_mode mirrors the reference's ScoreMode (db_score.rs): "fast" =
+    mean prob over the candidate's AABB (box_score_fast); "slow" = mean
+    prob over the candidate's own above-threshold pixels (the component
+    analogue of the contour-fill mean) — the right mode when text is
+    skewed, where a rotated band fills little of its AABB and fast
+    scoring under-rates real detections.
+
+    Returns (boxes (N,4) int64 AABBs [x0,y0,x1,y1] exclusive in the
+    HEATMAP frame, scores (N,) float64). The caller maps back to the
+    source frame by the det-resize ratio (the reference's width_scale/
+    height_scale step), exactly like the stand-in detect path. The loop
+    is per DETECTION (tens per page), never per pixel — every pixel op
+    (binarize, components, score) is vectorized."""
+    p = np.asarray(prob, dtype=np.float32)
+    comps = connected_component_boxes(p > thresh, min_area=1,
+                                      max_candidates=max_candidates)
+    h, w = p.shape[:2]
+    boxes, scores = [], []
+    for x0, y0, x1, y1 in comps:
+        if min(x1 - x0, y1 - y0) < min_size:
+            continue
+        quad = aabb_to_quad(np.array([[x0, y0, x1, y1]], dtype=np.float64))[0]
+        if score_mode == "slow":
+            win = p[y0:y1, x0:x1]
+            hot = win[win > thresh]
+            score = float(hot.mean()) if hot.size else 0.0
+        else:
+            score = box_score_fast(p, quad)
+        if score < box_thresh:
+            continue
+        rect = min_area_rect(unclip_box(quad, unclip_ratio))
+        side_a = float(np.linalg.norm(rect[1] - rect[0]))
+        side_b = float(np.linalg.norm(rect[3] - rect[0]))
+        if min(side_a, side_b) < min_size + 2:
+            continue
+        bb = quad_to_aabb(rect)[0]
+        boxes.append([
+            int(np.clip(np.rint(bb[0]), 0, w)),
+            int(np.clip(np.rint(bb[1]), 0, h)),
+            int(np.clip(np.rint(bb[2]), 0, w)),
+            int(np.clip(np.rint(bb[3]), 0, h)),
+        ])
+        scores.append(score)
+    if not boxes:
+        return np.zeros((0, 4), dtype=np.int64), np.zeros(0)
+    return np.asarray(boxes, dtype=np.int64), np.asarray(scores)
+
+
 def mask_regions(img: np.ndarray, bboxes: np.ndarray, fill_value: int = 255) -> np.ndarray:
     """Fill the given AABB regions with a constant (utils/image.rs:781
     mask_regions): coordinates truncated to int, out-of-bounds regions

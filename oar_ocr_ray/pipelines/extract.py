@@ -45,6 +45,7 @@ def build_extract_pipeline(
     stage_mode: str = "tasks",
     det_max_side: int = 4000,
     rec_model_input: bool = False,
+    det_model_input: bool = False,
 ) -> "ray.data.Dataset":
     """Build the lazy Dataset DAG (nothing executes until consumed).
 
@@ -66,7 +67,8 @@ def build_extract_pipeline(
         ds = ds.map_batches(
             MediaDetect,
             fn_constructor_kwargs={"media_dir": media_dir,
-                                   "det_max_side": det_max_side},
+                                   "det_max_side": det_max_side,
+                                   "det_model_input": det_model_input},
             batch_format="pyarrow",
             batch_size=det_batch_size,
             concurrency=det_concurrency,
@@ -82,11 +84,14 @@ def build_extract_pipeline(
         )
     else:
         if media_refs is not None:
-            det_stage = cached_stage(MediaDetect, media_refs=media_refs,
-                                     cache_token=media_dir, det_max_side=det_max_side)
+            det_stage = cached_stage(
+                MediaDetect, media_refs=media_refs,
+                cache_token=(media_dir, det_model_input),
+                det_max_side=det_max_side, det_model_input=det_model_input)
         else:  # corpus too big to pin in the object store: lazy LRU lookups
             det_stage = cached_stage(MediaDetect, media_dir=media_dir,
-                                     det_max_side=det_max_side)
+                                     det_max_side=det_max_side,
+                                     det_model_input=det_model_input)
         ds = ds.map_batches(
             det_stage,
             batch_format="pyarrow",

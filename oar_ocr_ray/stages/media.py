@@ -305,7 +305,21 @@ class SharedMediaStore:
 
 
 class MediaDetect:
-    """Actor: media span rows -> crop rows (others pass through)."""
+    """Actor: media span rows -> crop rows (others pass through).
+
+    det_model_input=True routes every page through the REAL detection
+    model boundary (reference db.rs:95-213, symmetric with Recognize's
+    rec_session seam): det-resize -> normalize_image -> to_batch -> the
+    `det_session` (constructor arg; a production build passes an
+    onnxruntime DB wrapper, default is the kernel-emitting StubDbSession)
+    returns a (1,1,H,W) probability heatmap -> the REAL DBPostProcess
+    path (geometry.db_boxes_from_bitmap: binarize -> candidates ->
+    score filter -> unclip -> min_area_rect -> size filters). Sessions
+    are called per page (B=1): det-resized pages have per-page dims, and
+    zero-padding a mixed-size batch would denormalize to mid-gray inside
+    a real DB net's receptive field — the reference also feeds det one
+    image at a time through DetResizeForTest's per-image shapes.
+    """
 
     def __init__(
         self,
@@ -316,6 +330,15 @@ class MediaDetect:
         report_original_frame: bool = False,
         chunk_px: int = 16_000_000,  # decoded-page buffer bound (~16 MB gray)
         det_max_side: int = 4000,  # DetResizeForTest max_side_limit (constants.rs)
+        det_model_input: bool = False,
+        det_session=None,
+        det_db_thresh: float = 0.3,  # db_postprocess.rs:79 defaults
+        det_db_box_thresh: float = 0.6,
+        det_unclip_ratio: float = 1.5,
+        det_max_candidates: int = 1000,
+        det_score_mode: str = "slow",  # ScoreMode::Slow (db_score.rs): the
+        # fixture corpus renders skewed lines whose rotated bands fill
+        # little of their AABB — fast (AABB-mean) scoring under-rates them
     ):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
@@ -329,6 +352,17 @@ class MediaDetect:
         self.report_original_frame = report_original_frame
         self.chunk_px = chunk_px
         self.det_max_side = det_max_side
+        self.det_model_input = det_model_input
+        if det_model_input and det_session is None:
+            from ..stubs import StubDbSession
+
+            det_session = StubDbSession(unclip_ratio=det_unclip_ratio)
+        self.det_session = det_session
+        self.det_db_thresh = det_db_thresh
+        self.det_db_box_thresh = det_db_box_thresh
+        self.det_unclip_ratio = det_unclip_ratio
+        self.det_max_candidates = det_max_candidates
+        self.det_score_mode = det_score_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         is_img = pc.equal(batch["kind"], "image")
@@ -408,9 +442,32 @@ class MediaDetect:
             return pad_to_min_size(img, 32), (1.0, 1.0)
         return img, (1.0, 1.0)
 
+    def _detect_boxes_session(self, det_imgs: list) -> list:
+        """Detection model boundary: preprocess chain -> det_session heatmap
+        -> real DB postprocess, one page per session call (see class doc)."""
+        from ..geometry import db_boxes_from_bitmap
+        from ..preprocess import normalize_image, to_batch
+
+        out = []
+        for im in det_imgs:
+            prob = self.det_session(to_batch([normalize_image(im)]))[0, 0]
+            boxes, _scores = db_boxes_from_bitmap(
+                prob[: im.shape[0], : im.shape[1]],
+                thresh=self.det_db_thresh,
+                box_thresh=self.det_db_box_thresh,
+                unclip_ratio=self.det_unclip_ratio,
+                max_candidates=self.det_max_candidates,
+                score_mode=self.det_score_mode,
+            )
+            out.append(boxes)
+        return out
+
     def _detect_chunk(self, metas, imgs, detect_boxes_batch, out) -> None:
         det_pairs = [self._det_input(im) for im in imgs]
-        box_lists = detect_boxes_batch([p[0] for p in det_pairs], min_area=self.min_area)
+        if self.det_session is not None:
+            box_lists = self._detect_boxes_session([p[0] for p in det_pairs])
+        else:
+            box_lists = detect_boxes_batch([p[0] for p in det_pairs], min_area=self.min_area)
         for boxes, (_, (ry, rx)), img in zip(box_lists, det_pairs, imgs):
             if len(boxes) and (ry, rx) != (1.0, 1.0):
                 # back to the original frame: floor/ceil so the mapped box
@@ -544,6 +601,26 @@ class Recognize:
             return rotate_about_center(arr, ang, fill=255)
         return arr
 
+    @staticmethod
+    def _trim_white(arr: np.ndarray) -> np.ndarray:
+        """Trim the pure-white unclip margin a det-model-boundary box
+        carries (<= ~2 px per side) down to the dark-content bounding box
+        BEFORE the rec resize: a real CRNN is margin-robust, but the
+        stand-in tensor decode is exact only when bilinear blends of
+        margin and content never form — in-contract content is < 128, so
+        the dark bbox is exactly the text rect. No-op for margin-free
+        crops (the default det path)."""
+        dark = arr < 128
+        rows = dark.any(axis=1)
+        cols = dark.any(axis=0)
+        if not rows.any():
+            return arr
+        y0, y1 = int(rows.argmax()), len(rows) - int(rows[::-1].argmax())
+        x0, x1 = int(cols.argmax()), len(cols) - int(cols[::-1].argmax())
+        if (y0, x0) == (0, 0) and (y1, x1) == arr.shape[:2]:
+            return arr  # margin-free (default det path): zero-copy no-op
+        return np.ascontiguousarray(arr[y0:y1, x0:x1])
+
     def _session_logits(self, arrs: list[np.ndarray], max_wh: float) -> list[np.ndarray]:
         """Preprocess chain + one session call over a list of crops;
         returns per-item (T_i, C) logits (uniform (B, T, C) ndarrays from
@@ -601,7 +678,9 @@ class Recognize:
         if self.model_input:
             # model-boundary path: one preprocess chain + session call for
             # the wh-sorted batch; empty decodes retry once flipped (the
-            # 0/180 text-line orientation policy as a second session call)
+            # 0/180 text-line orientation policy as a second session call).
+            # Det-margin trim runs BEFORE the resize (see _trim_white).
+            arrs = {j: self._trim_white(a) for j, a in arrs.items()}
             lg = self._session_logits([arrs[j] for j in order_list], max_wh)
             logits_by_j = dict(zip(order_list, lg))
             decoded = {j: ctc_greedy_decode(logits_by_j[j]) for j in order_list}

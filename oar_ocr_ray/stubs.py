@@ -135,10 +135,17 @@ def read_crop_text(crop: np.ndarray) -> str:
     row = gray[h // 2]
     if (row == 127).any():  # SKEW_ANCHOR: anchor-framed skewed-line protocol
         return _read_skew_row(row)
-    nz = np.nonzero(row)[0]
-    if len(nz) == 0:
+    # det-model-boundary boxes carry a <=2 px unclip margin (pure 255
+    # white); in-contract content pixels are 1..127 and model-input right
+    # padding is exactly 0 — so the content span is the 1..127 band. At
+    # scale 1 this strip is exact (no resize blends); the model-input path
+    # trims margins BEFORE resize (Recognize._trim_white), so blends never
+    # reach this decoder.
+    inner = np.nonzero((row >= 1) & (row < 128))[0]
+    if len(inner) == 0:
         return ""
-    cw_out = int(nz[-1]) + 1
+    row = row[int(inner[0]): int(inner[-1]) + 1]
+    cw_out = len(row)
     n = int(row[0])
     if not (1 <= n <= 31):
         return ""
@@ -219,6 +226,104 @@ def estimate_skew_angle(crop: np.ndarray) -> float:
     if mu20 <= mu02:  # not a wide line: don't guess
         return 0.0
     return float(np.degrees(0.5 * np.arctan2(2.0 * mu11, mu20 - mu02)))
+
+
+def _erode1(m: np.ndarray) -> np.ndarray:
+    """One 4-neighbour (cross) binary erosion step, out-of-bounds =
+    background. d iterations = L1-ball-radius-d erosion: a straight rect
+    shrinks by exactly d on every side."""
+    e = np.zeros_like(m)
+    e[1:-1, 1:-1] = (m[1:-1, 1:-1] & m[:-2, 1:-1] & m[2:, 1:-1]
+                     & m[1:-1, :-2] & m[1:-1, 2:])
+    return e
+
+
+class StubDbSession:
+    """Deterministic stand-in for the DB-detection onnxruntime session at
+    the detection model boundary (reference db.rs:95-213): consumes the
+    SAME normalized (B, 3, H, W) float32 tensor a real session would —
+    built by det_resize -> normalize_image -> to_batch — and returns a
+    (B, 1, H, W) probability heatmap that the REAL DBPostProcess path
+    (geometry.db_boxes_from_bitmap) converts to boxes. A production build
+    replaces this object with a real session wrapper taking the identical
+    tensor; nothing else changes (the same seam shape as StubCtcSession).
+
+    What it emits mirrors what a trained DB head predicts: the SHRUNK
+    text KERNEL (Liao et al. 2019 — ground-truth kernels are inward
+    offsets of the text polygons; DBPostProcess's unclip re-expands them
+    by `delta = unclip_ratio * area / perimeter`, db_bitmap.rs:144-180).
+    Per dark component this stub picks the erosion depth d whose unclip
+    re-expansion best inverts it (|delta(eroded box) - d| minimal, the
+    deterministic analogue of a converged model + config pair), so final
+    boxes land within ~1 px of the true rects; the recognition side
+    absorbs that margin exactly (read_crop_text's white-margin strip /
+    Recognize's pre-resize trim). Components too small to carry a
+    >= min_size kernel (e.g. the 1-px orientation tag) emit nothing —
+    exactly like a real DB head, whose training shrink makes tiny
+    regions vanish.
+    """
+
+    def __init__(self, kernel_prob: float = 0.9, unclip_ratio: float = 1.5,
+                 min_size: float = 3.0, max_depth: int = 8,
+                 scale: float = 1.0 / 255.0, mean=None, std=None):
+        from .preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        self.kernel_prob = kernel_prob
+        self.unclip_ratio = unclip_ratio
+        self.min_size = min_size
+        self.max_depth = max_depth
+        self.scale = scale
+        self.mean = float((IMAGENET_MEAN if mean is None else mean)[0])
+        self.std = float((IMAGENET_STD if std is None else std)[0])
+
+    def _kernel(self, sub: np.ndarray) -> np.ndarray | None:
+        """Best shrunk kernel for one component's mask slice, or None when
+        no erosion depth yields a postprocess-surviving kernel. A depth
+        that splits the component (jagged skewed bands under L1 erosion)
+        is not a candidate — one text line must stay one kernel."""
+        from .geometry import connected_component_boxes
+
+        r = self.unclip_ratio
+        n0 = len(connected_component_boxes(sub, min_area=1, max_candidates=2**62))
+        best, best_err = None, None
+        cur, d = sub, 0
+        while cur.any() and d <= self.max_depth:
+            ys, xs = np.nonzero(cur)
+            w = int(xs.max() - xs.min()) + 1
+            h = int(ys.max() - ys.min()) + 1
+            if min(w, h) < self.min_size:
+                break  # erosion only shrinks further — no candidate ahead
+            delta = r * w * h / (2.0 * (w + h))
+            err = abs(delta - d)
+            if err < (best_err if best_err is not None else np.inf):
+                ncomp = len(connected_component_boxes(
+                    cur, min_area=1, max_candidates=2**62))
+                if ncomp == n0:
+                    best, best_err = cur, err
+            if delta - d < -1.5:
+                break  # monotone decreasing: deeper erosion only overshoots
+            cur = _erode1(cur)
+            d += 1
+        return best
+
+    def __call__(self, tensor: np.ndarray) -> np.ndarray:
+        from .geometry import connected_component_boxes
+
+        b, _, th, tw = tensor.shape
+        out = np.zeros((b, 1, th, tw), dtype=np.float32)
+        for i in range(b):
+            ch = tensor[i, 0].astype(np.float64)
+            u8 = np.clip(
+                np.rint((ch * self.std + self.mean) / self.scale), 0, 255
+            ).astype(np.uint8)
+            mask = u8 < 128
+            comps = connected_component_boxes(mask, min_area=1,
+                                              max_candidates=2**62)
+            for x0, y0, x1, y1 in comps:
+                k = self._kernel(mask[y0:y1, x0:x1])
+                if k is not None:
+                    out[i, 0, y0:y1, x0:x1][k] = self.kernel_prob
+        return out
 
 
 class StubCtcSession:

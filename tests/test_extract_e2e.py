@@ -334,3 +334,40 @@ def test_model_input_tensor_path_matches_golden(ray_session, corpus):
 
     table = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
     assert_matches_golden(table, corpus["golden_path"], N_DOCS)
+
+def test_det_model_input_tensor_path_matches_golden(ray_session, corpus):
+    """det_model_input=True routes detection through the REAL detection
+    model boundary — det preprocess -> normalize_image -> to_batch ->
+    StubDbSession heatmap -> the REAL DBPostProcess chain (binarize ->
+    candidates -> score filter -> unclip -> min_area_rect) — and must
+    produce the SAME span sequences as the stand-in detect path (the
+    drop-in bar, symmetric with rec_session: a real DB ONNX wrapper
+    replaces the stub via the det_session constructor arg with no
+    pipeline changes). Boxes land within ~1-2 px unclip margin of the
+    true rects; the margin-tolerant pixel read absorbs it."""
+    ds = build_extract_pipeline(
+        corpus["doc_files"], corpus["media_dir"], n_parts=16,
+        det_concurrency=1, rec_concurrency=1, det_model_input=True,
+    )
+    import pyarrow as pa
+    import ray
+
+    table = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    assert_matches_golden(table, corpus["golden_path"], N_DOCS)
+
+
+def test_both_model_boundaries_match_golden(ray_session, corpus):
+    """Both tensor seams ON together: DB det session + CTC rec session —
+    the full production shape (two ONNX sessions, stand-ins here). The
+    rec path's pre-resize white-margin trim (Recognize._trim_white) is
+    what keeps det-margin crops exact through the bilinear rec resize."""
+    ds = build_extract_pipeline(
+        corpus["doc_files"], corpus["media_dir"], n_parts=16,
+        det_concurrency=1, rec_concurrency=1,
+        det_model_input=True, rec_model_input=True,
+    )
+    import pyarrow as pa
+    import ray
+
+    table = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    assert_matches_golden(table, corpus["golden_path"], N_DOCS)
