@@ -260,9 +260,38 @@ def _draw_skewed_line(img, rng, text, x_lo, x_hi, row_y, h):
     return (x0, y0, x0 + cw, y0 + ch, text)
 
 
-def _gen_image(rng: np.random.Generator):
+# warped-page protocol (UVDoc rectification fixtures): a "curled" page is
+# the upright page with every k-th pixel COLUMN duplicated (k in 8..16) —
+# integer gather, so the warp and its inverse are EXACT under bilinear
+# sampling. The [0,1] tag pixel carries RECTIFY_TAG_BASE + k on the warped
+# upright frame (>= 128: never a detection component, never white). The
+# duplication stretches pixel-text cells non-uniformly, so the cell decoder
+# CANNOT read a warped line — rectification is load-bearing, not cosmetic.
+# Ground-truth boxes stay in the UNWARPED frame: the reference keeps
+# results in rectified space (preprocess.rs:81-87 voids the rotation
+# metadata once rectification ran).
+RECTIFY_TAG_BASE = 128
+
+
+def curl_column_map(w: int, k: int) -> np.ndarray:
+    """Source-column index map of the curl: each group of k original
+    columns is followed by a duplicate of its last column."""
+    xs = np.arange(w, dtype=np.int64)
+    dup_at = np.arange(k - 1, w, k, dtype=np.int64)
+    return np.insert(xs, dup_at + 1, xs[dup_at])
+
+
+def curl_page(img: np.ndarray, k: int) -> np.ndarray:
+    """Apply the curl warp; output is (h, w + w//k) with the k tag set."""
+    warped = img[:, curl_column_map(img.shape[1], k)].copy()
+    warped[0, 1] = RECTIFY_TAG_BASE + k
+    return warped
+
+
+def _gen_image(rng: np.random.Generator, warp_frac: float = 0.0):
     """Render one synthetic page. Returns (png_bytes, w, h, rot, boxes)
-    where boxes = [(x0, y0, x1, y1, text), ...] in upright coords."""
+    where boxes = [(x0, y0, x1, y1, text), ...] in upright coords (the
+    rectified frame when the page is warped)."""
     w = int(rng.integers(180, 320))
     h = int(rng.integers(140, 280))
     img = np.full((h, w), 255, dtype=np.uint8)
@@ -299,6 +328,9 @@ def _gen_image(rng: np.random.Generator):
             img[y0:y0 + bh, x0:x0 + bw] = patch
             boxes.append((x0, y0, x0 + bw, y0 + bh, text))
         row_y += 26
+    if warp_frac and rng.random() < warp_frac:
+        img = curl_page(img, int(rng.integers(8, 17)))
+        w = img.shape[1]  # stored (warped) width
     rot = int(rng.choice([0, 1, 2, 3], p=[0.9, 0.04, 0.03, 0.03]))
     stored = np.rot90(img, k=-rot) if rot else img
     stored = stored.copy()
@@ -306,7 +338,7 @@ def _gen_image(rng: np.random.Generator):
     return encode_png(stored), w, h, rot, boxes
 
 
-def gen_document(seed: int, i: int):
+def gen_document(seed: int, i: int, warp_frac: float = 0.0):
     """Generate one document. Returns (doc_row, media_rows).
 
     doc_row = {doc_id, spans=[{kind,text,media_ref,offset}...]} with list
@@ -327,7 +359,7 @@ def gen_document(seed: int, i: int):
     for k in range(n_spans):
         if rng.random() < p_image:
             ref = f"media://{doc_id}/{k}"
-            png, w, h, rot, boxes = _gen_image(rng)
+            png, w, h, rot, boxes = _gen_image(rng, warp_frac=warp_frac)
             media_rows.append(
                 {
                     "media_ref": ref,
@@ -398,6 +430,7 @@ def write_corpus(
     n_doc_files: int = 8,
     n_media_buckets: int = DEFAULT_MEDIA_BUCKETS,
     with_golden: bool = True,
+    warp_frac: float = 0.0,
 ) -> dict:
     """Write documents/ (n_doc_files parquet), media/ (hash-bucketed parquet)
     and optionally golden/ under out_dir. Returns path metadata."""
@@ -410,7 +443,7 @@ def write_corpus(
     media = []
     golden = []
     for i in range(n_docs):
-        row, m = gen_document(seed, i)
+        row, m = gen_document(seed, i, warp_frac=warp_frac)
         docs.append(row)
         media.extend(m)
         if with_golden:

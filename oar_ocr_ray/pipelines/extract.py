@@ -46,6 +46,7 @@ def build_extract_pipeline(
     det_max_side: int = 4000,
     rec_model_input: bool = False,
     det_model_input: bool = False,
+    rectify: bool = False,
 ) -> "ray.data.Dataset":
     """Build the lazy Dataset DAG (nothing executes until consumed).
 
@@ -68,7 +69,8 @@ def build_extract_pipeline(
             MediaDetect,
             fn_constructor_kwargs={"media_dir": media_dir,
                                    "det_max_side": det_max_side,
-                                   "det_model_input": det_model_input},
+                                   "det_model_input": det_model_input,
+                                   "rectify": rectify},
             batch_format="pyarrow",
             batch_size=det_batch_size,
             concurrency=det_concurrency,
@@ -86,12 +88,14 @@ def build_extract_pipeline(
         if media_refs is not None:
             det_stage = cached_stage(
                 MediaDetect, media_refs=media_refs,
-                cache_token=(media_dir, det_model_input),
-                det_max_side=det_max_side, det_model_input=det_model_input)
+                cache_token=(media_dir, det_model_input, rectify),
+                det_max_side=det_max_side, det_model_input=det_model_input,
+                rectify=rectify)
         else:  # corpus too big to pin in the object store: lazy LRU lookups
             det_stage = cached_stage(MediaDetect, media_dir=media_dir,
                                      det_max_side=det_max_side,
-                                     det_model_input=det_model_input)
+                                     det_model_input=det_model_input,
+                                     rectify=rectify)
         ds = ds.map_batches(
             det_stage,
             batch_format="pyarrow",

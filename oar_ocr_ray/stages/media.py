@@ -339,6 +339,8 @@ class MediaDetect:
         det_score_mode: str = "slow",  # ScoreMode::Slow (db_score.rs): the
         # fixture corpus renders skewed lines whose rotated bands fill
         # little of their AABB — fast (AABB-mean) scoring under-rates them
+        rectify: bool = False,
+        rectifier=None,
     ):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
@@ -363,6 +365,13 @@ class MediaDetect:
         self.det_unclip_ratio = det_unclip_ratio
         self.det_max_candidates = det_max_candidates
         self.det_score_mode = det_score_mode
+        # optional UVDoc-style rectification after orientation (reference
+        # preprocess.rs:58-94 DocumentPreprocessor: orient, then rectify)
+        if rectify and rectifier is None:
+            from ..stubs import StubWarpRectifier
+
+            rectifier = StubWarpRectifier()
+        self.rectifier = rectifier
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         is_img = pc.equal(batch["kind"], "image")
@@ -407,6 +416,13 @@ class MediaDetect:
                     continue
                 cls = classify_orientation(img)
                 img = correct_orientation(img, cls)
+                if self.rectifier is not None:
+                    img = self.rectifier.forward(img)
+                    # UVDoc rectification can't be inverted precisely:
+                    # results stay in RECTIFIED space, the rotation metadata
+                    # is voided (preprocess.rs:81-87) — so boxes are never
+                    # mapped back to the stored frame for rectified pages.
+                    cls = 0
                 metas.append((doc_id, offset, ref, part, cls))
                 imgs.append(img)
                 px += img.shape[0] * img.shape[1]

@@ -228,6 +228,44 @@ def estimate_skew_angle(crop: np.ndarray) -> float:
     return float(np.degrees(0.5 * np.arctan2(2.0 * mu11, mu20 - mu02)))
 
 
+class StubWarpRectifier:
+    """Deterministic stand-in for the UVDoc rectification session, tied to
+    the fixture curl contract (fixtures.curl_page: every k-th pixel column
+    duplicated, k carried by the [0,1] tag pixel as RECTIFY_TAG_BASE + k).
+
+    Runs the REAL UVDocRectifier forward (rectify.py: predict_grid ->
+    grid_sample_bilinear remap -> scale/clamp): only `predict_grid` is the
+    stand-in — it emits the exact inverse gather grid x -> x + x//k, the
+    role a real UVDoc session's warp field plays (uvdoc.rs:37-203). Two
+    deliberate stand-in deviations, both contract-driven: the model input
+    shape is the page itself (a real UVDoc resizes to a fixed input and
+    back, which would blur the deterministic pixel-text cells), and
+    unwarped pages (no tag) pass through on the identity grid."""
+
+    def __init__(self):
+        from .rectify import UVDocRectifier
+
+        self._inner = UVDocRectifier(input_hw=(0, 0))
+        self._inner.predict_grid = self._predict_grid
+
+    def _predict_grid(self, img: np.ndarray) -> np.ndarray:
+        from .fixtures import RECTIFY_TAG_BASE
+        from .rectify import identity_grid
+
+        h, w = img.shape[:2]
+        grid = identity_grid(h, w)
+        tag = int(img[0, 1] if img.ndim == 2 else img[0, 1, 0])
+        k = tag - RECTIFY_TAG_BASE
+        if 0 < k <= 64:
+            xs = np.arange(w, dtype=np.float64)
+            grid[..., 0] = np.minimum(xs + np.floor(xs / k), w - 1)[None, :]
+        return grid
+
+    def forward(self, img: np.ndarray) -> np.ndarray:
+        self._inner.input_hw = img.shape[:2]  # page-resolution stand-in
+        return self._inner.forward(img)
+
+
 def _erode1(m: np.ndarray) -> np.ndarray:
     """One 4-neighbour (cross) binary erosion step, out-of-bounds =
     background. d iterations = L1-ball-radius-d erosion: a straight rect
