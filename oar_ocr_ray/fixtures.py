@@ -224,18 +224,19 @@ def _gen_line_text(rng: np.random.Generator) -> str:
     return s if s else "x"
 
 
-def _draw_skewed_line(img, rng, text, x_lo, x_hi, row_y, h):
-    """Place one small-angle rotated line (the ImageRotationProcessor
-    workload, reference processors.rs:130-182): anchor-framed patch,
-    bilinear white-fill rotation, ground-truth box = dark-core bbox.
-    Returns (x0, y0, x1, y1, text) or None when it doesn't fit."""
+def _skew_core(rng, text: str, bh_lo: int = 10, bh_hi: int = 15):
+    """Rotated anchor-framed patch cropped to its dark-band bbox (the
+    ImageRotationProcessor workload, reference processors.rs:130-182):
+    bilinear white-fill rotation; the caller min-merges the core onto any
+    background (white page, block fill, cell fill). Returns the core array
+    or None for empty text."""
     from .rectify import rotate_about_center
 
     text = text[:12]
     if len(text) < 1:
         return None
     bw0 = skew_patch_width(len(text))
-    bh0 = int(rng.integers(10, 15))
+    bh0 = int(rng.integers(bh_lo, bh_hi))
     # keep one scanline >= 2 rows inside the slanted band at every x
     max_sin = (bh0 - 5) / bw0
     theta = float(rng.uniform(0.8, 3.5))
@@ -247,7 +248,16 @@ def _draw_skewed_line(img, rng, text, x_lo, x_hi, row_y, h):
     canvas[pad:pad + bh0, pad:pad + bw0] = skew_text_patch(text, bh0)
     rot = rotate_about_center(canvas, theta, fill=255)
     ys, xs = np.nonzero(rot < 128)
-    core = rot[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+    return rot[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+
+
+def _draw_skewed_line(img, rng, text, x_lo, x_hi, row_y, h):
+    """Place one small-angle rotated line; ground-truth box = dark-core
+    bbox. Returns (x0, y0, x1, y1, text) or None when it doesn't fit."""
+    core = _skew_core(rng, text)
+    if core is None:
+        return None
+    text = text[:12]
     ch, cw = core.shape
     if x_lo + cw + 2 >= x_hi:
         return None
@@ -626,18 +636,35 @@ def _draw_block(img, x0, y0, x1, y1, label):
     img[y0 + 1, x0] = BLOCK_TAG_BASE + LAYOUT_CODE_OF[label]
 
 
-def _draw_line(img, rng, x_lo, y_lo, x_hi, y_hi, flip_p: float = 0.1):
+def _draw_line(img, rng, x_lo, y_lo, x_hi, y_hi, flip_p: float = 0.1,
+               skew_p: float = 0.08):
     """Draw one encoded text line INSIDE the given region; returns
     (x0, y0, x1, y1, text) or None if it doesn't fit.
 
     With probability flip_p the line is rendered 180°-ROTATED (the
     upside-down-line case the reference's text-line orientation classifier
-    exists for) — the pipeline must classify + correct before decoding."""
+    exists for), and with probability skew_p at a small angle (0.8-3.5°,
+    the ImageRotationProcessor case) — the structure path's recognition
+    runs the SAME skew gate as the flagship (reference structure.rs:
+    2140-2216 shares one rec stack across pipelines), so structure pages
+    carry skewed lines too. The skew core min-merges onto whatever fill
+    the region has (block/cell fills stay one component)."""
     avail_w = x_hi - x_lo
     avail_h = y_hi - y_lo
     if avail_w < 14 or avail_h < 9:
         return None
     text = _gen_line_text(rng)
+    if rng.random() < skew_p:
+        core = _skew_core(rng, text, bh_lo=8, bh_hi=10)
+        if core is not None:
+            ch, cw = core.shape
+            if ch <= avail_h and cw < avail_w:
+                sx0 = x_lo + int(rng.integers(0, avail_w - cw))
+                sy0 = y_lo + int(rng.integers(0, avail_h - ch + 1))
+                region = img[sy0:sy0 + ch, sx0:sx0 + cw]
+                img[sy0:sy0 + ch, sx0:sx0 + cw] = np.minimum(region, core)
+                return (sx0, sy0, sx0 + cw, sy0 + ch, text[:12])
+        # didn't fit at an angle: fall through to a straight line
     bw = patch_width(len(text))
     if bw >= avail_w:
         text = text[: max(4, max_chars_for_width(avail_w - 1))]
@@ -688,7 +715,10 @@ def gen_structure_page(rng: np.random.Generator):
                 img[cy0:cy0 + ch, cx0:cx0 + cw] = CELL_FILL
                 cells.append((cx0, cy0, cx0 + cw, cy0 + ch))
                 if rng.random() < 0.7:
-                    ln = _draw_line(img, rng, cx0 + 2, cy0 + 2, cx0 + cw - 2, cy0 + ch - 2)
+                    # cell lines stay straight: a cell-split re-recognition
+                    # of a skewed SEGMENT would lose an anchor by design
+                    ln = _draw_line(img, rng, cx0 + 2, cy0 + 2,
+                                    cx0 + cw - 2, cy0 + ch - 2, skew_p=0.0)
                     if ln is not None:
                         lines.append(ln)
 
@@ -696,8 +726,11 @@ def gen_structure_page(rng: np.random.Generator):
         _draw_block(img, x0, y0, x1, y1, label)
         blocks.append((x0, y0, x1, y1, label))
         ly = y0 + 3
+        # seal lines stay straight (the seal path re-detects via quad warp)
+        sp = 0.0 if label == "seal" else 0.08
         for _ in range(n_lines):
-            ln = _draw_line(img, rng, x0 + 3, ly, x1 - 3, min(ly + 13, y1 - 3))
+            ln = _draw_line(img, rng, x0 + 3, ly, x1 - 3, min(ly + 13, y1 - 3),
+                            skew_p=sp)
             if ln is not None:
                 lines.append(ln)
                 ly = ln[3] + 2

@@ -28,6 +28,7 @@ def build_structure_pipeline(
     n_buckets: int = 16,
     n_blocks: int | None = None,
     min_line_area: int = 9,
+    rec_model_input: bool = False,
 ) -> "ray.data.Dataset":
     """Lazy per-page structure DAG: refs (optionally filtered to a bucket
     group) -> actor-pool StructureExtract. Blocks default to the bucket
@@ -58,7 +59,8 @@ def build_structure_pipeline(
     )
     return ds.map_batches(
         cached_stage(StructureExtract, media_dir=media_dir,
-                     min_line_area=min_line_area),
+                     min_line_area=min_line_area,
+                     rec_model_input=rec_model_input),
         batch_format="pyarrow", batch_size=None,
     )
 

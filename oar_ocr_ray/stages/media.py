@@ -557,6 +557,43 @@ class MediaDetect:
         )
 
 
+class LineReader:
+    """Per-crop recognition read for pipelines OUTSIDE the batched
+    flagship Recognize stage — the structure path's line reads, fallback
+    OCR, cell-split and seal re-recognition. The reference runs ONE rec
+    stack in both pipelines (structure.rs:2140-2216), so this chains the
+    SAME flagship policies per crop: ImageRotationProcessor skew gate
+    (Recognize._maybe_unrotate) -> pixel cell read with the fused 0/180
+    retry; with model_input=True instead: white-margin trim -> the rec
+    preprocess chain -> rec_session -> REAL greedy CTC decode -> 180°
+    retry as a second session call. A real ONNX CRNN wrapper drops in via
+    rec_session exactly as in Recognize."""
+
+    def __init__(self, model_input: bool = False, rec_session=None,
+                 rec_target_h: int = 48):
+        self._rec = Recognize(model_input=model_input, rec_session=rec_session,
+                              rec_target_h=rec_target_h)
+        self.model_input = model_input
+
+    def read(self, crop: np.ndarray) -> str:
+        if crop.size == 0:
+            return ""
+        arr = Recognize._maybe_unrotate(np.ascontiguousarray(crop))
+        if not self.model_input:
+            from ..stubs import read_line_text
+
+            return read_line_text(arr)
+        arr = Recognize._trim_white(arr)
+        wh = arr.shape[1] / max(arr.shape[0], 1)
+        text, _conf, _cols = ctc_greedy_decode(
+            self._rec._session_logits([arr], max(wh, 1.0))[0])
+        if not text:
+            flipped = np.ascontiguousarray(np.rot90(arr, 2))
+            text, _conf, _cols = ctc_greedy_decode(
+                self._rec._session_logits([flipped], max(wh, 1.0))[0])
+        return text
+
+
 class Recognize:
     """Actor: crop rows -> recognized text rows (others pass through).
 

@@ -44,20 +44,29 @@ from ..stubs import (
     detect_layout_blocks,
     detect_table_cells,
 )
-from .media import MediaStore, SharedMediaStore
+from .media import LineReader, MediaStore, SharedMediaStore
 
 
 class StructureExtract:
-    """Actor: page-ref rows -> per-page structure rows."""
+    """Actor: page-ref rows -> per-page structure rows.
+
+    rec_model_input mirrors the flagship's Recognize seam: every line read
+    in the structure flow goes through the shared LineReader (skew gate +
+    optional preprocess-chain -> rec_session -> CTC tensor path), so a
+    real CRNN wrapper drops into BOTH pipelines via the same constructor
+    surface (reference structure.rs:2140-2216 runs one rec stack)."""
 
     def __init__(self, media_dir: str | None = None, media_refs: dict | None = None,
-                 min_line_area: int = 9):
+                 min_line_area: int = 9, rec_model_input: bool = False,
+                 rec_session=None):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
         else:
             self.store = MediaStore(media_dir)
         self.min_line_area = min_line_area
         self.missing_media = 0
+        self.reader = LineReader(model_input=rec_model_input,
+                                 rec_session=rec_session)
 
     def _one_page(self, ref: str):
         payload = self.store.get(ref)
@@ -70,7 +79,8 @@ class StructureExtract:
             # corrupt blob: skip like missing media, never abort the run
             self.missing_media += 1
             return None
-        out = predict_structure_page(img, min_line_area=self.min_line_area)
+        out = predict_structure_page(img, min_line_area=self.min_line_area,
+                                     reader=self.reader)
         out["media_ref"] = ref
         return out
 
@@ -91,13 +101,16 @@ class StructureExtract:
 
 
 def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
-                           return_elements: bool = False) -> dict:
+                           return_elements: bool = False,
+                           reader: LineReader | None = None) -> dict:
     """The full per-page PP-StructureV3 flow on a decoded grayscale page —
     the single-page OARStructure::predict_image surface
     (structure.rs:2271-2468), shared by the actor stage and the CLI.
     return_elements=True additionally includes the stitched element dicts
     (bbox/label/score/text/order_index) — the CLI/visualization payload;
     the actor stage keeps them off its Arrow rows."""
+    if reader is None:
+        reader = LineReader()  # pixel path with the flagship skew gate
     cls = classify_orientation(img)
     img = correct_orientation(img, cls)
     h, w = img.shape
@@ -141,15 +154,13 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
                 inside |= (cx >= sb[0]) & (cx < sb[2]) & (cy >= sb[1]) & (cy < sb[3])
             line_boxes = line_boxes[~inside]
 
-    from ..stubs import read_line_text
-
     texts, boxes = [], []
     for b in line_boxes:
         x0, y0, x1, y1 = (int(np.floor(b[0])), int(np.floor(b[1])),
                           int(np.ceil(b[2])), int(np.ceil(b[3])))
         crop = img[max(y0, 0):min(y1, h), max(x0, 0):min(x1, w)]
-        # orientation-fused recognition (0/180 classify = upright read)
-        t = read_line_text(crop)
+        # the SHARED flagship read: skew gate + 0/180 retry (+ tensor path)
+        t = reader.read(crop)
         if t:  # empty recognition dropped (structure.rs:2200 precedent)
             texts.append(t)
             boxes.append(b)
@@ -159,7 +170,7 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
     # curved-text path; appended BEFORE fallback OCR so a recognized
     # seal counts as matched, structure.rs:1794 ordering)
     for q in seal_quads:
-        t = read_line_text(get_rotate_crop_image(img, q))
+        t = reader.read(get_rotate_crop_image(img, q))
         if t:
             boxes = np.concatenate([boxes, np.array(
                 [[q[:, 0].min(), q[:, 1].min(), q[:, 0].max(), q[:, 1].max()]]
@@ -170,7 +181,7 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
     # blocks with no matched text get a whole-block recognition attempt
     for j in fallback_ocr_blocks(lb, labels, boxes):
         bx0, by0 = max(int(lb[j, 0]), 0), max(int(lb[j, 1]), 0)
-        t = read_line_text(img[by0:int(lb[j, 3]), bx0:int(lb[j, 2])])
+        t = reader.read(img[by0:int(lb[j, 3]), bx0:int(lb[j, 2])])
         if t:
             boxes = np.concatenate([boxes, lb[j:j + 1]])
             texts.append(t)
@@ -200,7 +211,7 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
                     new_texts.append(texts[int(s)])
                     continue
                 sx0, sy0 = max(int(np.floor(b[0])), 0), max(int(np.floor(b[1])), 0)
-                t = read_line_text(img[sy0:int(np.ceil(b[3])), sx0:int(np.ceil(b[2]))])
+                t = reader.read(img[sy0:int(np.ceil(b[3])), sx0:int(np.ceil(b[2]))])
                 if t:
                     new_boxes.append(b)
                     new_texts.append(t)

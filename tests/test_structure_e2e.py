@@ -151,3 +151,52 @@ def test_run_structure_extract_resumable(ray_session, corpus, tmp_path):
     with pytest.raises(RuntimeError, match="resume mismatch"):
         run_structure_extract(corpus["refs_path"], corpus["media_dir"], out,
                               n_shards=2, n_buckets=corpus["n_buckets"])
+
+
+def test_structure_corpus_renders_skewed_lines(corpus):
+    """The structure fixture must exercise the skew gate: a healthy share
+    of pages carries small-angle lines (anchor-framed protocol)."""
+    import os
+
+    from oar_ocr_ray.fixtures import SKEW_ANCHOR
+    from oar_ocr_ray.png_codec import decode_png
+
+    n_skew = 0
+    for f in sorted(os.listdir(corpus["media_dir"])):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(f"{corpus['media_dir']}/{f}", columns=["png"])
+        for blob in t["png"].to_pylist():
+            img = decode_png(blob)[:, :, 0]
+            n_skew += int((img == SKEW_ANCHOR).sum() > 0)
+    assert n_skew >= corpus["n_pages"] // 4, f"only {n_skew} skewed pages"
+
+
+def test_structure_tensor_rec_path_matches_golden(ray_session, corpus):
+    """rec_model_input=True routes EVERY structure-path line read (lines,
+    seals, fallback OCR, cell splits) through the flagship's model
+    boundary — preprocess chain -> StubCtcSession -> real CTC decode with
+    the 0/180 retry — via the shared LineReader. Same golden, skewed
+    lines included: the rec stack is one stack across both pipelines."""
+    import ray.data
+
+    from oar_ocr_ray.stages.structure_stage import StructureExtract
+
+    ds = ray.data.read_parquet(corpus["refs_path"])
+    out = ds.map_batches(
+        StructureExtract,
+        fn_constructor_kwargs={"media_dir": corpus["media_dir"],
+                               "rec_model_input": True},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas().sort_values("media_ref").reset_index(drop=True)
+    golden = pq.read_table(corpus["golden_path"]).to_pandas().sort_values(
+        "media_ref").reset_index(drop=True)
+    assert len(out) == len(golden) == corpus["n_pages"]
+    for col in ("n_elements", "labels", "markdown", "html"):
+        mism = out[col].to_numpy() != golden[col].to_numpy()
+        if mism.any():
+            i = int(np.flatnonzero(mism)[0])
+            raise AssertionError(
+                f"{col} mismatch on {out['media_ref'][i]}:\n"
+                f"pipeline: {out[col][i]!r}\ngolden:   {golden[col][i]!r}"
+            )
