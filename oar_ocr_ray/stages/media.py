@@ -578,6 +578,8 @@ class LineReader:
     def read(self, crop: np.ndarray) -> str:
         if crop.size == 0:
             return ""
+        if crop.ndim == 3:  # RGB callers (CLI/server): channels identical
+            crop = crop[:, :, 0]
         arr = Recognize._maybe_unrotate(np.ascontiguousarray(crop))
         if not self.model_input:
             from ..stubs import read_line_text

@@ -104,3 +104,18 @@ def test_http_structure_endpoint(server):
         res = json.loads(r.read())
     assert res["n_elements"] >= 1
     assert "markdown" in res and "html" in res
+
+
+def test_predict_model_input_matches_pixel_path():
+    """--model-input runs both model boundaries (StubDbSession det heatmap
+    + tensor recognition via LineReader); texts and reading order must
+    match the pixel path over fixture pages (boxes may differ by the
+    documented ~2px unclip margin)."""
+    for i in (3, 9, 21):
+        rng = np.random.default_rng([31, i])
+        png, w, h, rot, truth = _gen_image(rng)
+        a = predict_image(png)
+        b = predict_image(png, model_input=True)
+        assert [s["text"] for s in a["spans"]] == [s["text"] for s in b["spans"]]
+        for sa, sb in zip(a["spans"], b["spans"]):
+            assert max(abs(x - y) for x, y in zip(sa["box"], sb["box"])) <= 2

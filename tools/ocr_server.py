@@ -37,18 +37,20 @@ from oar_ocr_ray.stubs import (
     classify_orientation,
     correct_orientation,
     detect_boxes,
-    read_crop_text,
 )
 
 DET_MAX_SIDE = 4000  # DetResizeForTest max_side_limit (core/constants.rs)
 
 
 def predict_image(png_bytes: bytes, min_area: int = 9,
-                  decoded: np.ndarray | None = None) -> dict:
+                  decoded: np.ndarray | None = None,
+                  model_input: bool = False) -> dict:
     """One image through the exact flagship stage semantics:
-    orientation -> DB-stand-in detection (with the DetResizeForTest
-    cap/pad policy) -> raster reading-order sort -> crop (vertical
-    auto-rotate) -> line-orientation-fused CTC recognition."""
+    orientation -> detection (DB stand-in, or with model_input=True the
+    REAL model boundary: normalize -> StubDbSession heatmap -> real
+    DBPostProcess) -> raster reading-order sort -> crop (vertical
+    auto-rotate) -> recognition via the shared LineReader (skew gate +
+    fused 0/180 retry; tensor path when model_input=True)."""
     img = decode_png(png_bytes) if decoded is None else decoded
     cls = classify_orientation(img)
     up = correct_orientation(img, cls)
@@ -63,7 +65,16 @@ def predict_image(png_bytes: bytes, min_area: int = 9,
     else:
         det_in, (ry, rx) = up, (1.0, 1.0)
 
-    boxes = detect_boxes(det_in, min_area=min_area)
+    if model_input:
+        from oar_ocr_ray.geometry import db_boxes_from_bitmap
+        from oar_ocr_ray.preprocess import normalize_image, to_batch
+        from oar_ocr_ray.stubs import StubDbSession
+
+        prob = StubDbSession()(to_batch([normalize_image(det_in)]))[0, 0]
+        boxes, _scores = db_boxes_from_bitmap(
+            prob[: det_in.shape[0], : det_in.shape[1]], score_mode="slow")
+    else:
+        boxes = detect_boxes(det_in, min_area=min_area)
     if len(boxes) and (ry, rx) != (1.0, 1.0):
         b = boxes.astype(np.float64)
         b[:, [0, 1]] = np.floor(b[:, [0, 1]] / [rx, ry])
@@ -73,6 +84,9 @@ def predict_image(png_bytes: bytes, min_area: int = 9,
         boxes[:, 2] = np.clip(b[:, 2], 0, w)
         boxes[:, 3] = np.clip(b[:, 3], 0, h)
 
+    from oar_ocr_ray.stages.media import LineReader
+
+    reader = LineReader(model_input=model_input)
     spans = []
     order = sort_quad_boxes_indices(boxes.astype(np.float64)) if len(boxes) else []
     for det_idx, j in enumerate(order):
@@ -80,9 +94,7 @@ def predict_image(png_bytes: bytes, min_area: int = 9,
         crop = up[y0:y1, x0:x1]
         if crop.shape[0] >= 1.5 * crop.shape[1]:  # vertical text auto-rotate
             crop = np.ascontiguousarray(np.rot90(crop, k=1))
-        raw = read_crop_text(crop)
-        if not raw:  # fused text-line orientation: failed upright read +
-            raw = read_crop_text(np.ascontiguousarray(np.rot90(crop, 2)))
+        raw = reader.read(crop)  # skew gate + fused 0/180 retry
         text, conf, _ = ctc_greedy_decode(encode_ctc_logits(raw))
         if not text:  # empty/low-score filter (ocr.rs drop path)
             continue
@@ -194,6 +206,9 @@ def main(argv=None) -> int:
     pp.add_argument("image")
     pp.add_argument("--format", choices=["json", "text", "pretty"],
                     default="json")
+    pp.add_argument("--model-input", action="store_true",
+                    help="run detection AND recognition through the model "
+                         "boundaries (session tensors + real DB postprocess)")
     pp.add_argument("--visualize", metavar="OUT_PNG",
                     help="also write a side-by-side visualization PNG")
     st = sub.add_parser(
@@ -213,7 +228,7 @@ def main(argv=None) -> int:
         with open(args.image, "rb") as f:
             data = f.read()
         img = decode_png(data)
-        result = predict_image(data, decoded=img)
+        result = predict_image(data, decoded=img, model_input=args.model_input)
         if args.visualize:
             from oar_ocr_ray.visualization import visualize_ocr_png
 
