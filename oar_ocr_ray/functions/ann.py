@@ -237,3 +237,105 @@ class IvfParityScorer:
                  "vec_id": ids[order], "score": scores[order]}
             ))
         return pd.concat(out, ignore_index=True) if out else empty
+
+
+# ---------------------------------------------------------------------------
+# Oracle-parity PRODUCT QUANTIZATION (Jegou, Douze, Schmid 2011, public):
+# per-subspace deterministic Lloyd on the round6 grid (the same technique
+# as ivf_parity_fit, with L2 distance and un-normalized subvector means),
+# so the whole codebook build + encode + ADC scoring reproduces bit-for-bit
+# in ANSI SQL (queries._pq_sql). ADC sums run in integer micro-units, so
+# they are exact and summation-order independent across engines.
+# ---------------------------------------------------------------------------
+
+def pq_parity_fit(nv_sample: np.ndarray, m_sub: int = 4, k_codes: int = 8,
+                  iters: int = 2) -> np.ndarray:
+    """Per-subspace deterministic Lloyd codebooks: (m_sub, k_codes, sd).
+
+    nv_sample: quantized_unit rows ordered by vec_id. Init per subspace =
+    first k_codes subvectors; assignment = argmin of round(L2, 6) with
+    lowest-code tiebreak (numpy argmin-first == SQL ORDER BY dist, cid);
+    update = member mean rounded to 6 (NOT re-normalized — subvectors are
+    not unit); empty codes keep their word."""
+    d = nv_sample.shape[1]
+    assert d % m_sub == 0, (d, m_sub)
+    sd = d // m_sub
+    books = np.empty((m_sub, k_codes, sd), dtype=np.float64)
+    for m in range(m_sub):
+        sv = nv_sample[:, m * sd:(m + 1) * sd]
+        c = sv[: k_codes].copy()
+        for _ in range(iters):
+            dist = round_half_away(
+                np.sqrt(((sv[:, None, :] - c[None, :, :]) ** 2).sum(-1)), 6)
+            assign = dist.argmin(axis=1)
+            for j in range(len(c)):
+                mem = sv[assign == j]
+                if len(mem):
+                    c[j] = round_half_away(mem.mean(axis=0), 6)
+        books[m] = c
+    return books
+
+
+def pq_encode(nv: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Nearest-codeword indices per subspace: (N, m_sub) int64, same
+    round6-L2 + lowest-code rule as the fit."""
+    m_sub, _k, sd = books.shape
+    codes = np.empty((len(nv), m_sub), dtype=np.int64)
+    for m in range(m_sub):
+        sv = nv[:, m * sd:(m + 1) * sd]
+        dist = round_half_away(
+            np.sqrt(((sv[:, None, :] - books[m][None, :, :]) ** 2).sum(-1)), 6)
+        codes[:, m] = dist.argmin(axis=1)
+    return codes
+
+
+class PqAdcScorer:
+    """Actor-pool stage: encode each batch's vectors to PQ codes, score
+    every query against the codes via the asymmetric-distance lookup
+    table (one int64 gather + sum per subspace — never a matmul against
+    raw vectors), emit per-batch partial top-k rows.
+
+    The LUT is built ONCE per actor from the broadcast codebooks: entry
+    [q, m, c] = round6(dot(q_m, codeword)) in integer micro-units, so the
+    ADC sum over subspaces is exact integer math (order-independent
+    across engines — the rev_c4 cents trick applied to similarities)."""
+
+    def __init__(self, queries_ref, books_ref, k: int = 10):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.qids = np.asarray(q["ids"])
+        qm = np.asarray(q["matrix"], dtype=np.float64)  # quantized units
+        self.books = ray.get(books_ref) if not isinstance(books_ref, np.ndarray) else books_ref
+        m_sub, k_codes, sd = self.books.shape
+        self.lut = np.empty((len(qm), m_sub, k_codes), dtype=np.int64)
+        for m in range(m_sub):
+            qs = qm[:, m * sd:(m + 1) * sd]
+            self.lut[:, m, :] = np.rint(
+                round_half_away(qs @ self.books[m].T, 6) * 1e6
+            ).astype(np.int64)
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "vec_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+        if len(df) == 0:
+            return empty
+        nv = quantized_unit(embedding_matrix(df))
+        codes = pq_encode(nv, self.books)
+        vec_ids = df["vec_id"].to_numpy()
+        m_idx = np.arange(codes.shape[1])[None, :]
+        out = []
+        for qi in range(len(self.qids)):
+            micro = self.lut[qi][m_idx, codes].sum(axis=1)  # exact int64
+            kk = min(self.k, len(vec_ids))
+            order = np.lexsort((vec_ids, -micro))[:kk]
+            out.append(pd.DataFrame(
+                {"query_id": np.full(kk, self.qids[qi]),
+                 "vec_id": vec_ids[order],
+                 "score": round_half_away(micro[order] / 1e6, 6)}
+            ))
+        return pd.concat(out, ignore_index=True) if out else empty

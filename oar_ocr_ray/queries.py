@@ -562,6 +562,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_window_distinct_users(sf_dir: str):
+    """EXACT windowed COUNT DISTINCT — per (event_type, hour window)
+    distinct-user counts, the engagement metric every event pipeline
+    needs (the approximate 100-TB companion is an HLL per window, see
+    hll_distinct_tokens for the sketch; this is the exact path).
+
+    Scale shape: per-batch DISTINCT (event_type, window, user) combiner
+    (each batch emits each triple once) -> ONE coarse exchange keyed on
+    hash(window, user) % P, so every occurrence of a triple meets in one
+    partition and dedups VECTORIZED (drop_duplicates — never one native
+    group per distinct triple, which is near-fact-cardinality) ->
+    per-partition partial counts per (event_type, window) — partitions
+    hold disjoint (window, user) sets, so partial counts sum exactly ->
+    tiny driver reduce over |event_types| x |windows| rows."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "window_start": df["ts"].dt.floor("h"),
+            "user_id": df["user_id"].to_numpy(),
+        }).drop_duplicates()
+        wid = d["window_start"].astype("int64").to_numpy() // 3_600_000_000
+        d["vp"] = ((d["user_id"].to_numpy().astype(np.int64) * np.int64(1_000_003)
+                    + wid) % 64).astype(np.int32)
+        return d
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["event_type", "window_start", "user_id"])
+        out = d.groupby(["event_type", "window_start"], as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("vp").map_groups(dedup_count, batch_format="pandas"))
+    out = _reduce_small(parts, ["event_type", "window_start"], ["n_users"])
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+EVENTS_WINDOW_DISTINCT_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
 def events_sessionize(sf_dir: str):
     """Session windows (30-min gap): events are shuffled on a COARSE
     partition of user_id (all of a user's events land in one partition),
@@ -2970,7 +3016,8 @@ FROM afull f
 """)
 
 
-def unigram_logprob_scores(sf_dir: str, min_count: int = LM_MIN_COUNT):
+def unigram_logprob_scores(sf_dir: str, min_count: int = LM_MIN_COUNT,
+                           carry: tuple = ()):
     """CCNet-style LM quality scoring with a corpus-trained unigram model:
     per-doc mean token log-probability. Exact-parity trick: log-probs are
     quantized to INTEGER micro-nats (round(ln(count/total)*1e6)), so the
@@ -2989,7 +3036,7 @@ def unigram_logprob_scores(sf_dir: str, min_count: int = LM_MIN_COUNT):
     import ray
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text", *carry])
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = _tokens(df["text"]).explode().dropna()
@@ -3030,9 +3077,12 @@ def unigram_logprob_scores(sf_dir: str, min_count: int = LM_MIN_COUNT):
         with np.errstate(divide="ignore", invalid="ignore"):
             mean = np.where(n_tok > 0,
                             round_half_away(tot / (n_tok * 1e6), 6), 0.0)
-        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(),
-                             "n_tokens": n_tok,
-                             "mean_logprob": mean})
+        res = {"doc_id": out["doc_id"].to_numpy(),
+               "n_tokens": n_tok,
+               "mean_logprob": mean}
+        for c in carry:  # passthrough columns (e.g. source for bucketing)
+            res[c] = df[c].to_numpy()
+        return pd.DataFrame(res)
 
     return ds.map_batches(score, batch_format="pandas")
 
@@ -3065,6 +3115,57 @@ SELECT d.doc_id,
        COALESCE(round(p.total_lpm * 1.0 / (p.n_tokens * 1000000.0), 6), 0.0)
          AS mean_logprob
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def _ntile(n: int, k: int, ranks: np.ndarray) -> np.ndarray:
+    """Exact SQL NTILE(k) over 0-based ranks: with n = q*k + r, the first
+    r tiles hold q+1 rows, the rest q."""
+    q, r = divmod(int(n), k)
+    big = r * (q + 1)
+    return np.where(ranks < big, ranks // (q + 1),
+                    r + (ranks - big) // max(q, 1)).astype(np.int64) + 1
+
+
+def ccnet_perplexity_buckets(sf_dir: str):
+    """CCNet-style quality bucketing (Wenzek et al. 2020, public): within
+    each SOURCE, rank documents by LM score (mean unigram logprob, best
+    first) and split into head / middle / tail terciles — the standard
+    "keep head+middle, drop tail" curation gate, per-language in CCNet,
+    per-source here.
+
+    Scale shape: the LM scoring pass is the existing shuffle-free
+    unigram_logprob_scores with `source` carried through; the tercile cut
+    is an exact per-source NTILE, which NEEDS a per-source global rank —
+    done as ONE exchange keyed on source (bounded cardinality, like the
+    reference's per-store grouping) with a vectorized in-partition
+    argsort, one Python call per source, never per doc. At extreme
+    per-source skew the documented lever is sampled quantile cuts (the
+    top_quartile_docs_per_source histogram trick); the exact rank is kept
+    here because the oracle is exact NTILE.
+
+    Parity: order (mean_logprob DESC, doc_id ASC) and the NTILE fill rule
+    replicated bit-exactly (_ntile); bucket names head/middle/tail."""
+    scores = unigram_logprob_scores(sf_dir, carry=("source",))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["mean_logprob", "doc_id"],
+                          ascending=[False, True], kind="stable")
+        tile = _ntile(len(g), 3, np.arange(len(g)))
+        names = np.array(["head", "middle", "tail"], dtype=object)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "source": g["source"].to_numpy(),
+                             "bucket": names[tile - 1]})
+
+    return scores.groupby("source").map_groups(bucket, batch_format="pandas")
+
+
+CCNET_BUCKETS_SQL = f"""
+SELECT u.doc_id, d.source,
+  CASE NTILE(3) OVER (PARTITION BY d.source
+                      ORDER BY u.mean_logprob DESC, u.doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ({UNIGRAM_LOGPROB_SQL}) u JOIN documents d USING (doc_id)
 """
 
 
@@ -3692,6 +3793,129 @@ GROUP BY b.query_id ORDER BY b.query_id
 """
 
 
+def ann_pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5, m_sub: int = 4,
+                k_codes: int = 8, iters: int = 2):
+    """Product-quantization ANN with ADC scoring (Jegou, Douze, Schmid
+    2011, public) — the COMPRESSION scale path of the ANN family (brute /
+    LSH / multiprobe / IVF / PQ): per-subspace codebooks fit on the
+    bounded vec_id-ordered sample with the deterministic round6 Lloyd
+    (L2 metric, pq_parity_fit), every corpus vector compressed to m_sub
+    code indices, and queries scored by asymmetric distance computation
+    — per-query (m_sub x k_codes) inner-product lookup tables in integer
+    micro-units, so scoring a batch is a gather + exact int sum, never a
+    matmul against raw vectors. At scale this is the memory lever: 64
+    float32 dims become m_sub small codes resident in RAM.
+
+    Scale shape: bounded driver fit -> ray.put(codebooks) (tiny) -> ONE
+    pass over embeddings (encode + ADC + per-batch partial top-k) ->
+    k x n_queries x blocks rows reduce on the driver. EXACT DuckDB
+    oracle (_pq_sql): every Lloyd step on the round6 grid, ADC sums in
+    integer micro-units (order-independent), same DESC/vec_id tiebreaks.
+    Quality vs the exact baseline is measured by ann_recall_pq."""
+    import ray
+
+    from .functions.ann import PqAdcScorer, pq_parity_fit, quantized_unit, topk_reduce
+
+    nv_sample = _sample_nv_by_vecid(sf_dir, max_rows=4096)
+    books = pq_parity_fit(nv_sample, m_sub=m_sub, k_codes=k_codes, iters=iters)
+    qdf = _query_vectors(sf_dir, n_queries)
+    nq = quantized_unit(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": nq})
+    books_ref = ray.put(books)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partials = ds.map_batches(
+        PqAdcScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref,
+                               "books_ref": books_ref, "k": k},
+        batch_format="pandas",
+        concurrency=2,
+    )
+    return topk_reduce(partials.to_pandas(), k)
+
+
+def _pq_sql(m_sub: int = 4, k_codes: int = 8, iters: int = 2,
+            n_queries: int = 5, topk: int = 10, sample: int = 4096,
+            dim: int = 64) -> str:
+    """SQL mirroring ann_pq_topk exactly: same quantized-unit vectors,
+    same per-subspace first-K init and round6-L2 Lloyd (unrolled CTEs,
+    means NOT re-normalized), same encode rule, and the ADC score as a
+    sum of integer micro-unit dot products (exact on both engines).
+    DuckDB list slices are 1-based inclusive: subspace m = nv[m*sd+1 :
+    (m+1)*sd]."""
+    qnorm = "list_transform({src}, x -> round(x / sqrt(list_sum(list_transform({src}, y -> y*y))), 6))"
+    sd = dim // m_sub
+    sql = f"""
+WITH ecast AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), nvec AS (
+  SELECT vec_id, {qnorm.format(src='e')} AS nv FROM ecast
+), samp AS (
+  SELECT vec_id, nv FROM nvec ORDER BY vec_id LIMIT {sample}
+)"""
+    for m in range(m_sub):
+        lo, hi = m * sd + 1, (m + 1) * sd
+        sql += f""", s{m} AS (
+  SELECT vec_id, nv[{lo}:{hi}] AS sv FROM samp
+), c0_{m} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS c
+  FROM (SELECT vec_id, sv FROM s{m} ORDER BY vec_id LIMIT {k_codes})
+)"""
+        prev = f"c0_{m}"
+        for t in range(1, iters + 1):
+            sql += f""", a{t}_{m} AS (
+  SELECT s.vec_id, s.sv, c.cid
+  FROM s{m} s CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY s.vec_id
+          ORDER BY round(list_distance(s.sv, c.c), 6) ASC, c.cid) = 1
+), m{t}_{m} AS (
+  SELECT cid, list(mx ORDER BY i) AS m FROM (
+    SELECT cid, i, round(avg(x), 6) AS mx FROM (
+      SELECT cid, unnest(sv) AS x, generate_subscripts(sv, 1) AS i FROM a{t}_{m})
+    GROUP BY cid, i)
+  GROUP BY cid
+), c{t}_{m} AS (
+  SELECT p.cid, COALESCE(m.m, p.c) AS c
+  FROM {prev} p LEFT JOIN m{t}_{m} m ON p.cid = m.cid
+)"""
+            prev = f"c{t}_{m}"
+        sql += f""", af{m} AS (
+  SELECT n.vec_id, c.cid
+  FROM nvec n CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+          ORDER BY round(list_distance(n.nv[{lo}:{hi}], c.c), 6) ASC, c.cid) = 1
+)"""
+    terms = " +\n         ".join(
+        f"CAST(round(list_dot_product(q.qv[{m * sd + 1}:{(m + 1) * sd}], "
+        f"b{m}.c) * 1000000) AS BIGINT)"
+        for m in range(m_sub))
+    joins = f"\n  JOIN c{iters}_0 b0 ON b0.cid = a0.cid"
+    for m in range(1, m_sub):
+        joins += (f"\n  JOIN af{m} a{m} ON a{m}.vec_id = a0.vec_id"
+                  f"\n  JOIN c{iters}_{m} b{m} ON b{m}.cid = a{m}.cid")
+    sql += f""", q AS (
+  SELECT vec_id AS query_id, nv AS qv FROM nvec ORDER BY vec_id LIMIT {n_queries}
+), scored AS (
+  SELECT q.query_id, a0.vec_id,
+         round(({terms}) / 1000000.0, 6) AS score
+  FROM q CROSS JOIN af0 a0{joins}
+)
+SELECT query_id, vec_id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= {topk}
+"""
+    return sql
+
+
+ANN_PQ_SQL = _pq_sql()
+
+
+def ann_recall_pq(sf_dir: str, k: int = 10):
+    """recall@k of the PQ/ADC index vs exact brute force — what the
+    compression costs in quality, the third recall measurement beside
+    the single-probe and multi-probe LSH evals."""
+    return _recall_vs_brute(sf_dir, ann_pq_topk(sf_dir, k=k), k)
+
+
 def _vocab_combine(partials, key: str, val: str = "n", n_parts: int = 64):
     """Exact (key, sum(val)) over per-batch partial counts via ONE coarse
     hash(key) % n_parts exchange + a vectorized in-partition pandas
@@ -4167,6 +4391,7 @@ QUERIES = {
     "orders_per_customer_topk": orders_per_customer_topk,
     "filter_highvalue_orders": filter_highvalue_orders,
     "events_tumbling": events_tumbling,
+    "events_window_distinct_users": events_window_distinct_users,
     "events_sessionize": events_sessionize,
     "events_sliding": events_sliding,
     "events_asof_join": events_asof_join,
@@ -4186,6 +4411,7 @@ QUERIES = {
     "source_temperature_sample": source_temperature_sample,
     "semdedup_prune": semdedup_prune,
     "unigram_logprob_scores": unigram_logprob_scores,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "top_quartile_docs_per_source": top_quartile_docs_per_source,
     "global_shuffle_rank": global_shuffle_rank,
     "hll_distinct_tokens": hll_distinct_tokens,
@@ -4227,6 +4453,8 @@ QUERIES = {
     "q22_idle_customer_balance": q22_idle_customer_balance,
     "bigram_logprob_scores": bigram_logprob_scores,
     "ann_recall_eval": ann_recall_eval,
+    "ann_pq_topk": ann_pq_topk,
+    "ann_recall_pq": ann_recall_pq,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_recall_multiprobe": ann_recall_multiprobe,
     # rows-only / golden-verified in pytest (no SQL oracle)
@@ -4247,6 +4475,7 @@ ORACLE_SQL = {
     "orders_per_customer_topk": ORDERS_TOPK_SQL,
     "filter_highvalue_orders": FILTER_SQL,
     "events_tumbling": EVENTS_TUMBLING_SQL,
+    "events_window_distinct_users": EVENTS_WINDOW_DISTINCT_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
@@ -4266,6 +4495,7 @@ ORACLE_SQL = {
     "source_temperature_sample": SOURCE_TEMP_SAMPLE_SQL,
     "semdedup_prune": EMB_SEMDEDUP_SQL,
     "unigram_logprob_scores": UNIGRAM_LOGPROB_SQL,
+    "ccnet_perplexity_buckets": CCNET_BUCKETS_SQL,
     "top_quartile_docs_per_source": TOP_QUARTILE_SQL,
     "global_shuffle_rank": GLOBAL_SHUFFLE_SQL,
     "hll_distinct_tokens": HLL_SQL,
@@ -4304,6 +4534,8 @@ ORACLE_SQL = {
     "q22_idle_customer_balance": Q22_SQL,
     "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,
     "ann_recall_eval": _ann_recall_sql(),
+    "ann_pq_topk": ANN_PQ_SQL,
+    "ann_recall_pq": _ann_recall_sql(ANN_PQ_SQL),
     "ann_lsh_multiprobe_topk": _ann_lsh_multiprobe_sql(),
     "ann_recall_multiprobe": _ann_recall_sql(_ann_lsh_multiprobe_sql()),
 }

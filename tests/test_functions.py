@@ -235,3 +235,66 @@ def test_ivf_index_recall_on_clustered_data():
     sub = df[np.isin(assign, probed)]
     ivf = topk_reduce(BruteForceScorer({"ids": np.array([0]), "matrix": q}, k=5)(sub), 5)
     assert full["vec_id"].tolist() == ivf["vec_id"].tolist()
+
+
+def test_ntile_matches_duckdb():
+    """_ntile replicates SQL NTILE(k) fill (first n%k tiles get the extra
+    row) for every n up to 20."""
+    import duckdb
+    import numpy as np
+
+    from oar_ocr_ray.queries import _ntile
+
+    con = duckdb.connect()
+    for n in range(1, 21):
+        for k in (2, 3, 4):
+            sql = con.execute(
+                f"SELECT NTILE({k}) OVER (ORDER BY i) FROM range({n}) t(i)"
+            ).fetchnumpy()
+            got = _ntile(n, k, np.arange(n))
+            assert (got == list(sql.values())[0]).all(), (n, k)
+
+
+def test_pq_codebooks_shape_and_determinism():
+    import numpy as np
+
+    from oar_ocr_ray.functions.ann import pq_encode, pq_parity_fit, quantized_unit
+
+    rng = np.random.default_rng(5)
+    nv = quantized_unit(rng.normal(size=(200, 64)))
+    b1 = pq_parity_fit(nv, m_sub=4, k_codes=8, iters=2)
+    b2 = pq_parity_fit(nv, m_sub=4, k_codes=8, iters=2)
+    assert b1.shape == (4, 8, 16)
+    assert (b1 == b2).all()  # fully deterministic
+    codes = pq_encode(nv, b1)
+    assert codes.shape == (200, 4) and codes.min() >= 0 and codes.max() < 8
+    # encoding a codeword returns its own index (round-trip property)
+    for m in range(4):
+        sub = np.zeros((8, 64))
+        sub[:, m * 16:(m + 1) * 16] = b1[m]
+        assert (pq_encode(sub, b1)[:, m] == np.arange(8)).all()
+
+
+def test_pq_adc_score_is_exact_integer_sum():
+    """ADC micro-unit sums equal the rounded subspace dots summed exactly,
+    independent of summation order."""
+    import numpy as np
+
+    from oar_ocr_ray.functions.ann import pq_encode, pq_parity_fit, quantized_unit
+    from oar_ocr_ray.numeric import round_half_away
+
+    rng = np.random.default_rng(11)
+    nv = quantized_unit(rng.normal(size=(64, 64)))
+    books = pq_parity_fit(nv, m_sub=4, k_codes=8, iters=2)
+    q = quantized_unit(rng.normal(size=(1, 64)))[0]
+    codes = pq_encode(nv, books)
+    expect = np.zeros(len(nv), dtype=np.int64)
+    for m in range(4):
+        dots = round_half_away(q[m * 16:(m + 1) * 16] @ books[m].T, 6)
+        expect += np.rint(dots * 1e6).astype(np.int64)[codes[:, m]]
+    # reversed accumulation gives the same integers (order independence)
+    got = np.zeros(len(nv), dtype=np.int64)
+    for m in (3, 2, 1, 0):
+        dots = round_half_away(q[m * 16:(m + 1) * 16] @ books[m].T, 6)
+        got += np.rint(dots * 1e6).astype(np.int64)[codes[:, m]]
+    assert (expect == got).all()
