@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "bigram_logprob_scores",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    # round-4 additions
+    "events_window_distinct_users",
+    "ccnet_perplexity_buckets",
+    "ann_pq_topk",
 ]
 
 

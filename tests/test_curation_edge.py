@@ -250,3 +250,41 @@ def test_minhash_candidate_cap_fires_loudly(tmp_path):
     out = minhash_dup_pairs(d)  # default gate: exact full verification
     assert len(out) == 40 * 39 // 2
     assert (out["jaccard"].to_numpy() == 1.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collect_broadcast_gate_refuses_fact_tables(tmp_path):
+    """The broadcast-plan collect is HARD-GATED: past max_rows it refuses
+    loudly and names the big-big alternative (the policy-header rule that
+    fact-cardinality sides never ship via ray.put ungated)."""
+    from oar_ocr_ray.queries import _collect_broadcast
+
+    rows = [{"doc_id": i, "source": "s", "text": "alpha beta"} for i in range(50)]
+    d = write_docs(tmp_path, rows, n_files=2)
+    with pytest.raises(ValueError, match="broadcast plan refused"):
+        _collect_broadcast(d, "documents", ["doc_id"], max_rows=10)
+    out = _collect_broadcast(d, "documents", ["doc_id"], max_rows=100)
+    assert len(out) == 50
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dup_gate(tmp_path):
+    """The exact O(n^2) near-dup variant refuses past max_exact_rows,
+    pointing at the LSH scale path."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oar_ocr_ray.queries import embedding_near_dup
+
+    d = tmp_path / "sf" / "embeddings.parquet"
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(3)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array([list(map(float, rng.normal(size=8)))
+                               for _ in range(30)]),
+    }), d / "part0.parquet")
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        embedding_near_dup(str(tmp_path / "sf"), max_exact_rows=10)
