@@ -30,7 +30,14 @@ def _interleaved_corpus(sf_dir: str) -> dict:
 
     from oar_ocr_ray.fixtures import interleave_from_flat
 
-    key = hashlib.sha1(f"v2:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    from oar_ocr_ray.fixtures import ENCODING_VERSION
+
+    # the fixtures encoding version is part of the key, so a stale cached
+    # corpus can never silently feed an incompatible decoder (same rule
+    # as bench.py's corpus caches)
+    key = hashlib.sha1(
+        f"e{ENCODING_VERSION}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join("/tmp", f"oar_interleaved_{key}")
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):

@@ -120,3 +120,15 @@ def test_rectify_composes_with_det_model_boundary(ray_session, warp_corpus):
 
     table = _run(warp_corpus, rectify=True, det_model_input=True)
     assert_matches_golden(table, warp_corpus["golden_path"], N_DOCS)
+
+
+def test_all_seams_on_matches_golden(ray_session, warp_corpus):
+    """The full production shape in one run: UVDoc rectify + DB det
+    session + CTC rec session, over a corpus with warped, rotated,
+    flipped AND skewed pages — every model boundary and preprocess
+    policy engaged simultaneously, same golden."""
+    from tests.test_extract_e2e import assert_matches_golden
+
+    table = _run(warp_corpus, rectify=True, det_model_input=True,
+                 rec_model_input=True)
+    assert_matches_golden(table, warp_corpus["golden_path"], N_DOCS)
