@@ -304,6 +304,83 @@ class SharedMediaStore:
         return self._tables[b]["png"][i].as_py() if i is not None else None
 
 
+class DbDetector:
+    """The detection model boundary as a standalone per-page callable —
+    ONE det stack shared by the flagship MediaDetect and the structure
+    pipeline (the reference reuses its DBModel in both, structure.rs +
+    ocr.rs): normalize_image -> to_batch -> `session` heatmap -> the REAL
+    DBPostProcess chain (geometry.db_boxes_from_bitmap). Sessions are
+    called per page (B=1): pages have per-page dims and zero-padding a
+    mixed-size batch would denormalize to mid-gray inside a real DB net's
+    receptive field."""
+
+    def __init__(self, session=None, thresh: float = 0.3,
+                 box_thresh: float = 0.6, unclip_ratio: float = 1.5,
+                 max_candidates: int = 1000, score_mode: str = "slow"):
+        if session is None:
+            from ..stubs import StubDbSession
+
+            session = StubDbSession(unclip_ratio=unclip_ratio)
+        self.session = session
+        self.thresh = thresh
+        self.box_thresh = box_thresh
+        self.unclip_ratio = unclip_ratio
+        self.max_candidates = max_candidates
+        self.score_mode = score_mode
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        from ..geometry import db_boxes_from_bitmap
+        from ..preprocess import normalize_image, to_batch
+
+        prob = self.session(to_batch([normalize_image(img)]))[0, 0]
+        boxes, _scores = db_boxes_from_bitmap(
+            prob[: img.shape[0], : img.shape[1]],
+            thresh=self.thresh, box_thresh=self.box_thresh,
+            unclip_ratio=self.unclip_ratio,
+            max_candidates=self.max_candidates,
+            score_mode=self.score_mode,
+        )
+        return boxes
+
+
+class LayoutDetector:
+    """The LAYOUT-detection model boundary (reference PicoDet / RT-DETR
+    layout adapters, pp_doclayout.rs + layout_detection_adapter.rs):
+    normalize_image -> to_batch -> `session` returns per-image (N, 6)
+    detections [label_code, score, x0, y0, x1, y1] (the post-NMS adapter
+    output shape) -> label-code map + score-threshold filter. A real
+    ONNX layout wrapper is the `session` constructor arg; the default
+    StubLayoutSession reads the fixture block contract from the tensor.
+    Stand-in deviation (documented, same as StubWarpRectifier): the model
+    input is the page itself — a real RT-DETR resizes to its fixed input
+    and maps boxes back by ratio; the deterministic tag-pixel contract
+    doesn't survive a resize blend."""
+
+    def __init__(self, session=None, score_thresh: float = 0.5):
+        if session is None:
+            from ..stubs import StubLayoutSession
+
+            session = StubLayoutSession()
+        self.session = session
+        self.score_thresh = score_thresh
+
+    def __call__(self, img: np.ndarray):
+        from ..fixtures import LAYOUT_CODES
+        from ..preprocess import normalize_image, to_batch
+
+        dets = self.session(to_batch([normalize_image(img)]))[0]
+        boxes, labels, scores = [], [], []
+        for code, score, x0, y0, x1, y1 in dets:
+            label = LAYOUT_CODES.get(int(code))
+            if label is None or score < self.score_thresh:
+                continue
+            boxes.append([x0, y0, x1, y1])
+            labels.append(label)
+            scores.append(float(score))
+        return (np.asarray(boxes, dtype=np.float64).reshape(-1, 4),
+                labels, np.asarray(scores))
+
+
 class MediaDetect:
     """Actor: media span rows -> crop rows (others pass through).
 
@@ -355,16 +432,13 @@ class MediaDetect:
         self.chunk_px = chunk_px
         self.det_max_side = det_max_side
         self.det_model_input = det_model_input
-        if det_model_input and det_session is None:
-            from ..stubs import StubDbSession
-
-            det_session = StubDbSession(unclip_ratio=det_unclip_ratio)
-        self.det_session = det_session
-        self.det_db_thresh = det_db_thresh
-        self.det_db_box_thresh = det_db_box_thresh
-        self.det_unclip_ratio = det_unclip_ratio
-        self.det_max_candidates = det_max_candidates
-        self.det_score_mode = det_score_mode
+        if det_model_input or det_session is not None:
+            self.det_detector = DbDetector(
+                session=det_session, thresh=det_db_thresh,
+                box_thresh=det_db_box_thresh, unclip_ratio=det_unclip_ratio,
+                max_candidates=det_max_candidates, score_mode=det_score_mode)
+        else:
+            self.det_detector = None
         # optional UVDoc-style rectification after orientation (reference
         # preprocess.rs:58-94 DocumentPreprocessor: orient, then rectify)
         if rectify and rectifier is None:
@@ -458,30 +532,12 @@ class MediaDetect:
             return pad_to_min_size(img, 32), (1.0, 1.0)
         return img, (1.0, 1.0)
 
-    def _detect_boxes_session(self, det_imgs: list) -> list:
-        """Detection model boundary: preprocess chain -> det_session heatmap
-        -> real DB postprocess, one page per session call (see class doc)."""
-        from ..geometry import db_boxes_from_bitmap
-        from ..preprocess import normalize_image, to_batch
-
-        out = []
-        for im in det_imgs:
-            prob = self.det_session(to_batch([normalize_image(im)]))[0, 0]
-            boxes, _scores = db_boxes_from_bitmap(
-                prob[: im.shape[0], : im.shape[1]],
-                thresh=self.det_db_thresh,
-                box_thresh=self.det_db_box_thresh,
-                unclip_ratio=self.det_unclip_ratio,
-                max_candidates=self.det_max_candidates,
-                score_mode=self.det_score_mode,
-            )
-            out.append(boxes)
-        return out
-
     def _detect_chunk(self, metas, imgs, detect_boxes_batch, out) -> None:
         det_pairs = [self._det_input(im) for im in imgs]
-        if self.det_session is not None:
-            box_lists = self._detect_boxes_session([p[0] for p in det_pairs])
+        if self.det_detector is not None:
+            # detection model boundary: the shared DbDetector (preprocess
+            # chain -> session heatmap -> real DB postprocess) per page
+            box_lists = [self.det_detector(p[0]) for p in det_pairs]
         else:
             box_lists = detect_boxes_batch([p[0] for p in det_pairs], min_area=self.min_area)
         for boxes, (_, (ry, rx)), img in zip(box_lists, det_pairs, imgs):

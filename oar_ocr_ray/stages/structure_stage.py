@@ -44,7 +44,7 @@ from ..stubs import (
     detect_layout_blocks,
     detect_table_cells,
 )
-from .media import LineReader, MediaStore, SharedMediaStore
+from .media import DbDetector, LayoutDetector, LineReader, MediaStore, SharedMediaStore
 
 
 class StructureExtract:
@@ -58,7 +58,9 @@ class StructureExtract:
 
     def __init__(self, media_dir: str | None = None, media_refs: dict | None = None,
                  min_line_area: int = 9, rec_model_input: bool = False,
-                 rec_session=None):
+                 rec_session=None, det_model_input: bool = False,
+                 det_session=None, layout_model_input: bool = False,
+                 layout_session=None):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
         else:
@@ -67,6 +69,14 @@ class StructureExtract:
         self.missing_media = 0
         self.reader = LineReader(model_input=rec_model_input,
                                  rec_session=rec_session)
+        # the same DbDetector seam as the flagship (one det stack across
+        # both pipelines) and the layout model boundary
+        self.line_detector = (
+            DbDetector(session=det_session)
+            if (det_model_input or det_session is not None) else None)
+        self.layout_detector = (
+            LayoutDetector(session=layout_session)
+            if (layout_model_input or layout_session is not None) else None)
 
     def _one_page(self, ref: str):
         payload = self.store.get(ref)
@@ -80,7 +90,9 @@ class StructureExtract:
             self.missing_media += 1
             return None
         out = predict_structure_page(img, min_line_area=self.min_line_area,
-                                     reader=self.reader)
+                                     reader=self.reader,
+                                     line_detector=self.line_detector,
+                                     layout_detector=self.layout_detector)
         out["media_ref"] = ref
         return out
 
@@ -102,7 +114,9 @@ class StructureExtract:
 
 def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
                            return_elements: bool = False,
-                           reader: LineReader | None = None) -> dict:
+                           reader: LineReader | None = None,
+                           line_detector=None,
+                           layout_detector=None) -> dict:
     """The full per-page PP-StructureV3 flow on a decoded grayscale page —
     the single-page OARStructure::predict_image surface
     (structure.rs:2271-2468), shared by the actor stage and the CLI.
@@ -115,9 +129,15 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
     img = correct_orientation(img, cls)
     h, w = img.shape
 
-    lb, labels, scores = detect_layout_blocks(img)
+    if layout_detector is not None:  # layout model boundary (tensor path)
+        lb, labels, scores = layout_detector(img)
+    else:
+        lb, labels, scores = detect_layout_blocks(img)
     regions = detect_region_blocks(img)
-    line_boxes = detect_boxes(img, min_area=min_line_area).astype(np.float64)
+    if line_detector is not None:  # the shared flagship det seam
+        line_boxes = line_detector(img).astype(np.float64)
+    else:
+        line_boxes = detect_boxes(img, min_area=min_line_area).astype(np.float64)
 
     # cross-layout re-recognition split (structure.rs:2017-2108):
     # containers = region blocks when detected, else layout blocks with

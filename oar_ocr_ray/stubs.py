@@ -364,6 +364,40 @@ class StubDbSession:
         return out
 
 
+class StubLayoutSession:
+    """Deterministic stand-in for the PicoDet / RT-DETR layout-detection
+    onnxruntime session (reference pp_doclayout.rs +
+    layout_detection_adapter.rs): consumes the normalized (B, 3, H, W)
+    float32 tensor and returns per-image (N, 6) float detections
+    [label_code, score, x0, y0, x1, y1] — the post-NMS adapter output
+    shape a real wrapper would emit. Decode is tensor-only: denormalize
+    channel 0 back to uint8 (exact), then the block-fill/tag contract
+    (detect_layout_blocks math) with a fixed confident score of 0.9."""
+
+    def __init__(self, scale: float = 1.0 / 255.0, mean=None, std=None):
+        from .preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        self.scale = scale
+        self.mean = float((IMAGENET_MEAN if mean is None else mean)[0])
+        self.std = float((IMAGENET_STD if std is None else std)[0])
+
+    def __call__(self, tensor: np.ndarray) -> list[np.ndarray]:
+        from .fixtures import LAYOUT_CODE_OF
+
+        out = []
+        for i in range(tensor.shape[0]):
+            ch = tensor[i, 0].astype(np.float64)
+            u8 = np.clip(
+                np.rint((ch * self.std + self.mean) / self.scale), 0, 255
+            ).astype(np.uint8)
+            boxes, labels, scores = detect_layout_blocks(u8)
+            dets = np.empty((len(boxes), 6), dtype=np.float64)
+            for j, (b, l, s) in enumerate(zip(boxes, labels, scores)):
+                dets[j] = [LAYOUT_CODE_OF[l], s, b[0], b[1], b[2], b[3]]
+            out.append(dets)
+        return out
+
+
 class StubCtcSession:
     """Deterministic stand-in for the CRNN/SVTR onnxruntime session at the
     recognition model boundary (reference crnn.rs:61-118): consumes the

@@ -200,3 +200,57 @@ def test_structure_tensor_rec_path_matches_golden(ray_session, corpus):
                 f"{col} mismatch on {out['media_ref'][i]}:\n"
                 f"pipeline: {out[col][i]!r}\ngolden:   {golden[col][i]!r}"
             )
+
+
+def _run_structure(corpus, **kw):
+    import ray.data
+
+    from oar_ocr_ray.stages.structure_stage import StructureExtract
+
+    ds = ray.data.read_parquet(corpus["refs_path"])
+    return ds.map_batches(
+        StructureExtract,
+        fn_constructor_kwargs={"media_dir": corpus["media_dir"], **kw},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas().sort_values("media_ref").reset_index(drop=True)
+
+
+def _assert_golden(out, corpus):
+    golden = pq.read_table(corpus["golden_path"]).to_pandas().sort_values(
+        "media_ref").reset_index(drop=True)
+    assert len(out) == len(golden) == corpus["n_pages"]
+    for col in ("n_elements", "labels", "markdown", "html"):
+        mism = out[col].to_numpy() != golden[col].to_numpy()
+        if mism.any():
+            i = int(np.flatnonzero(mism)[0])
+            raise AssertionError(
+                f"{col} mismatch on {out['media_ref'][i]}:\n"
+                f"pipeline: {out[col][i]!r}\ngolden:   {golden[col][i]!r}"
+            )
+
+
+def test_structure_det_seam_matches_golden(ray_session, corpus):
+    """det_model_input=True routes the structure page's TEXT detection
+    through the SAME DbDetector seam as the flagship (one det stack across
+    both pipelines, structure.rs/ocr.rs share DBModel): session heatmap ->
+    real DBPostProcess; the ~1px unclip margins survive the stitching
+    (overlap match, container split, cell split) and the margin-tolerant
+    reads."""
+    _assert_golden(_run_structure(corpus, det_model_input=True), corpus)
+
+
+def test_structure_layout_seam_matches_golden(ray_session, corpus):
+    """layout_model_input=True routes layout detection through the model
+    boundary: normalized tensor -> StubLayoutSession (N,6) detections ->
+    label map + score filter — a real RT-DETR/PicoDet wrapper is the
+    layout_session constructor arg."""
+    _assert_golden(_run_structure(corpus, layout_model_input=True), corpus)
+
+
+def test_structure_all_seams_matches_golden(ray_session, corpus):
+    """All three structure model boundaries ON together (layout + det +
+    rec sessions) — the full production shape of the structure pipeline,
+    same golden."""
+    _assert_golden(_run_structure(corpus, det_model_input=True,
+                                  layout_model_input=True,
+                                  rec_model_input=True), corpus)
