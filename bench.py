@@ -92,6 +92,7 @@ def corpus_dir() -> dict:
 # overhead dominates the 8->32 ratio (see BASELINE.md round 3). First
 # --scaling call generates the corpus once (~10 min, cached in /tmp).
 STRUCT_PAGES = int(os.environ.get("BENCH_STRUCT_PAGES", "20000"))
+STRUCT_BUCKETS = int(os.environ.get("BENCH_STRUCT_BUCKETS", "64"))
 
 
 def structure_corpus_dir() -> dict:
@@ -100,7 +101,10 @@ def structure_corpus_dir() -> dict:
 
     from oar_ocr_ray.fixtures import ENCODING_VERSION
 
-    d = os.path.join("/tmp", f"oar_bench_struct_e{ENCODING_VERSION}_{STRUCT_PAGES}")
+    d = os.path.join(
+        "/tmp",
+        f"oar_bench_struct_e{ENCODING_VERSION}_{STRUCT_PAGES}_b{STRUCT_BUCKETS}",
+    )
     meta_path = os.path.join(d, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -108,9 +112,11 @@ def structure_corpus_dir() -> dict:
     from oar_ocr_ray.fixtures import write_structure_corpus
 
     os.makedirs(d, exist_ok=True)
-    # 64 buckets = 2x tasks per CPU at num_cpus=32, so one ambient straggler
-    # no longer bounds the wall (round-3 ran 32 bucket-aligned tasks).
-    meta = write_structure_corpus(d, STRUCT_PAGES, seed=7, n_media_buckets=64)
+    # default 64 buckets = 2x tasks per CPU at num_cpus=32, so one ambient
+    # straggler no longer bounds the wall (round-3 ran 32 bucket-aligned
+    # tasks); BENCH_STRUCT_BUCKETS overrides for granularity sweeps.
+    meta = write_structure_corpus(d, STRUCT_PAGES, seed=7,
+                                  n_media_buckets=STRUCT_BUCKETS)
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
     return meta
