@@ -381,6 +381,104 @@ class LayoutDetector:
                 labels, np.asarray(scores))
 
 
+class OrientationClassifier:
+    """Document-orientation model boundary (reference PP-LCNet 4-class
+    adapters): normalize_image -> to_batch -> `session` returns (B, 4)
+    class probabilities -> argmax (lowest class wins ties, the adapter's
+    first-max rule). A real PP-LCNet ONNX wrapper (with its own
+    resize-short/center-crop preprocess) is the `session` constructor
+    arg; the default StubOrientationSession reads the tag-pixel contract
+    and needs page-resolution input (documented stand-in deviation)."""
+
+    def __init__(self, session=None):
+        if session is None:
+            from ..stubs import StubOrientationSession
+
+            session = StubOrientationSession()
+        self.session = session
+
+    def __call__(self, img: np.ndarray) -> int:
+        from ..preprocess import normalize_image, to_batch
+
+        probs = self.session(to_batch([normalize_image(img)]))[0]
+        return int(np.argmax(probs))
+
+
+class TableClassifier:
+    """Wired/wireless table-classification model boundary
+    (table_classification.rs): normalized TABLE-CROP tensor ->
+    `session` (B, 2) probabilities -> label."""
+
+    def __init__(self, session=None):
+        if session is None:
+            from ..stubs import StubTableClsSession
+
+            session = StubTableClsSession()
+        self.session = session
+
+    def __call__(self, img: np.ndarray, box) -> str:
+        from ..preprocess import normalize_image, to_batch
+
+        x0, y0 = max(int(box[0]), 0), max(int(box[1]), 0)
+        crop = img[y0:int(box[3]), x0:int(box[2])]
+        if crop.size == 0:
+            return "wireless"
+        probs = self.session(to_batch([normalize_image(crop)]))[0]
+        return "wired" if int(np.argmax(probs)) == 0 else "wireless"
+
+
+class CellDetector:
+    """Table-cell detection model boundary (RT-DETR cells,
+    table_cell_detection_adapter.rs): normalized table-crop tensor ->
+    `session` per-image (N, 6) detections in crop coords -> score filter
+    -> map back to PAGE coordinates by the crop offset."""
+
+    def __init__(self, session=None, score_thresh: float = 0.5):
+        if session is None:
+            from ..stubs import StubCellDetSession
+
+            session = StubCellDetSession()
+        self.session = session
+        self.score_thresh = score_thresh
+
+    def __call__(self, img: np.ndarray, box) -> np.ndarray:
+        from ..preprocess import normalize_image, to_batch
+
+        x0, y0 = max(int(box[0]), 0), max(int(box[1]), 0)
+        crop = img[y0:int(box[3]), x0:int(box[2])]
+        if crop.size == 0:
+            return np.zeros((0, 4))
+        dets = self.session(to_batch([normalize_image(crop)]))[0]
+        keep = dets[:, 1] >= self.score_thresh if len(dets) else np.zeros(0, bool)
+        cells = dets[keep, 2:].astype(np.float64)
+        if len(cells):
+            cells[:, [0, 2]] += x0
+            cells[:, [1, 3]] += y0
+        return cells
+
+
+class RegionDetector:
+    """Region-block (container frame) model boundary (PP-DocBlockLayout,
+    structure.rs detect_layout_and_regions): normalized page tensor ->
+    `session` (N, 6) detections -> score filter -> (N, 4) boxes."""
+
+    def __init__(self, session=None, score_thresh: float = 0.5):
+        if session is None:
+            from ..stubs import StubRegionSession
+
+            session = StubRegionSession()
+        self.session = session
+        self.score_thresh = score_thresh
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        from ..preprocess import normalize_image, to_batch
+
+        dets = self.session(to_batch([normalize_image(img)]))[0]
+        if not len(dets):
+            return np.zeros((0, 4))
+        return dets[dets[:, 1] >= self.score_thresh, 2:].astype(np.float64)
+
+
 class MediaDetect:
     """Actor: media span rows -> crop rows (others pass through).
 
@@ -418,6 +516,8 @@ class MediaDetect:
         # little of their AABB — fast (AABB-mean) scoring under-rates them
         rectify: bool = False,
         rectifier=None,
+        orient_model_input: bool = False,
+        orient_session=None,
     ):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
@@ -446,6 +546,11 @@ class MediaDetect:
 
             rectifier = StubWarpRectifier()
         self.rectifier = rectifier
+        # doc-orientation model boundary (PP-LCNet seam); default = the
+        # direct tag-pixel stand-in call
+        self.orienter = (
+            OrientationClassifier(session=orient_session)
+            if (orient_model_input or orient_session is not None) else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         is_img = pc.equal(batch["kind"], "image")
@@ -488,7 +593,8 @@ class MediaDetect:
                     # missing media, never abort the run.
                     self.missing_media += 1
                     continue
-                cls = classify_orientation(img)
+                cls = (self.orienter(img) if self.orienter is not None
+                       else classify_orientation(img))
                 img = correct_orientation(img, cls)
                 if self.rectifier is not None:
                     img = self.rectifier.forward(img)

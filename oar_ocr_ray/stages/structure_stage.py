@@ -44,7 +44,17 @@ from ..stubs import (
     detect_layout_blocks,
     detect_table_cells,
 )
-from .media import DbDetector, LayoutDetector, LineReader, MediaStore, SharedMediaStore
+from .media import (
+    CellDetector,
+    DbDetector,
+    LayoutDetector,
+    LineReader,
+    MediaStore,
+    OrientationClassifier,
+    RegionDetector,
+    SharedMediaStore,
+    TableClassifier,
+)
 
 
 class StructureExtract:
@@ -60,7 +70,9 @@ class StructureExtract:
                  min_line_area: int = 9, rec_model_input: bool = False,
                  rec_session=None, det_model_input: bool = False,
                  det_session=None, layout_model_input: bool = False,
-                 layout_session=None):
+                 layout_session=None, aux_model_input: bool = False,
+                 orient_session=None, table_cls_session=None,
+                 cell_session=None, region_session=None):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
         else:
@@ -77,6 +89,21 @@ class StructureExtract:
         self.layout_detector = (
             LayoutDetector(session=layout_session)
             if (layout_model_input or layout_session is not None) else None)
+        # the remaining neural cores behind session boundaries: document
+        # orientation, wired/wireless table classification, table cells,
+        # region blocks (aux_model_input turns all four on with stubs)
+        self.orienter = (
+            OrientationClassifier(session=orient_session)
+            if (aux_model_input or orient_session is not None) else None)
+        self.table_classifier = (
+            TableClassifier(session=table_cls_session)
+            if (aux_model_input or table_cls_session is not None) else None)
+        self.cell_detector = (
+            CellDetector(session=cell_session)
+            if (aux_model_input or cell_session is not None) else None)
+        self.region_detector = (
+            RegionDetector(session=region_session)
+            if (aux_model_input or region_session is not None) else None)
 
     def _one_page(self, ref: str):
         payload = self.store.get(ref)
@@ -92,7 +119,11 @@ class StructureExtract:
         out = predict_structure_page(img, min_line_area=self.min_line_area,
                                      reader=self.reader,
                                      line_detector=self.line_detector,
-                                     layout_detector=self.layout_detector)
+                                     layout_detector=self.layout_detector,
+                                     orienter=self.orienter,
+                                     table_classifier=self.table_classifier,
+                                     cell_detector=self.cell_detector,
+                                     region_detector=self.region_detector)
         out["media_ref"] = ref
         return out
 
@@ -116,7 +147,11 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
                            return_elements: bool = False,
                            reader: LineReader | None = None,
                            line_detector=None,
-                           layout_detector=None) -> dict:
+                           layout_detector=None,
+                           orienter=None,
+                           table_classifier=None,
+                           cell_detector=None,
+                           region_detector=None) -> dict:
     """The full per-page PP-StructureV3 flow on a decoded grayscale page —
     the single-page OARStructure::predict_image surface
     (structure.rs:2271-2468), shared by the actor stage and the CLI.
@@ -125,7 +160,7 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
     the actor stage keeps them off its Arrow rows."""
     if reader is None:
         reader = LineReader()  # pixel path with the flagship skew gate
-    cls = classify_orientation(img)
+    cls = orienter(img) if orienter is not None else classify_orientation(img)
     img = correct_orientation(img, cls)
     h, w = img.shape
 
@@ -133,7 +168,8 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
         lb, labels, scores = layout_detector(img)
     else:
         lb, labels, scores = detect_layout_blocks(img)
-    regions = detect_region_blocks(img)
+    regions = (region_detector(img) if region_detector is not None
+               else detect_region_blocks(img))
     if line_detector is not None:  # the shared flagship det seam
         line_boxes = line_detector(img).astype(np.float64)
     else:
@@ -211,10 +247,13 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
     # TableAnalyzer, with the deterministic stand-ins)
     from ..structure import compute_table_htmls
 
+    classify = (table_classifier if table_classifier is not None
+                else classify_table)
+    cell_det = cell_detector if cell_detector is not None else detect_table_cells
     all_cells = []
     for j, label in enumerate(labels):
-        if label == "table" and classify_table(img, lb[j]) == "wired":
-            cells = detect_table_cells(img, lb[j])
+        if label == "table" and classify(img, lb[j]) == "wired":
+            cells = cell_det(img, lb[j])
             if len(cells):
                 all_cells.append(cells)
     cells = np.concatenate(all_cells) if all_cells else np.zeros((0, 4))

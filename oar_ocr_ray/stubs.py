@@ -398,6 +398,95 @@ class StubLayoutSession:
         return out
 
 
+def _tensor_to_u8(tensor: np.ndarray, i: int,
+                  scale: float, mean: float, std: float) -> np.ndarray:
+    """Denormalize channel 0 of batch item i back to uint8 (exact —
+    0..255 round-trips the float32 normalize within rint); the shared
+    first step of every tensor-consuming stub session."""
+    ch = tensor[i, 0].astype(np.float64)
+    return np.clip(np.rint((ch * std + mean) / scale), 0, 255).astype(np.uint8)
+
+
+class _StubSessionBase:
+    """Common normalize constants for tensor-consuming stub sessions."""
+
+    def __init__(self, scale: float = 1.0 / 255.0, mean=None, std=None):
+        from .preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        self.scale = scale
+        self.mean = float((IMAGENET_MEAN if mean is None else mean)[0])
+        self.std = float((IMAGENET_STD if std is None else std)[0])
+
+    def _u8(self, tensor: np.ndarray, i: int) -> np.ndarray:
+        return _tensor_to_u8(tensor, i, self.scale, self.mean, self.std)
+
+
+class StubOrientationSession(_StubSessionBase):
+    """Stand-in for the PP-LCNet 4-class document-orientation session
+    (reference doc_orientation adapters): consumes the normalized tensor,
+    returns (B, 4) class probabilities. One-hot from the tag-pixel
+    contract. Stand-in deviation (documented): input is the page itself —
+    the real PP-LCNet resize-short/center-crop preprocess would crop away
+    the deterministic tag pixel."""
+
+    def __call__(self, tensor: np.ndarray) -> np.ndarray:
+        out = np.zeros((tensor.shape[0], 4), dtype=np.float32)
+        for i in range(tensor.shape[0]):
+            out[i, classify_orientation(self._u8(tensor, i))] = 1.0
+        return out
+
+
+class StubTableClsSession(_StubSessionBase):
+    """Stand-in for the PP-LCNet wired/wireless table classifier
+    (table_classification.rs): normalized table-crop tensor in,
+    (B, 2) probabilities out (index 0 = wired, 1 = wireless)."""
+
+    def __call__(self, tensor: np.ndarray) -> np.ndarray:
+        out = np.zeros((tensor.shape[0], 2), dtype=np.float32)
+        for i in range(tensor.shape[0]):
+            u8 = self._u8(tensor, i)
+            wired = ((u8 >= 165) & (u8 < 195)).any()
+            out[i, 0 if wired else 1] = 1.0
+        return out
+
+
+class StubCellDetSession(_StubSessionBase):
+    """Stand-in for the RT-DETR table-cell detection session
+    (table_cell_detection_adapter.rs): normalized table-crop tensor in,
+    per-image (N, 6) [code=0, score, x0, y0, x1, y1] detections out in
+    CROP coordinates (the boundary maps them back to page coords)."""
+
+    def __call__(self, tensor: np.ndarray) -> list[np.ndarray]:
+        out = []
+        for i in range(tensor.shape[0]):
+            u8 = self._u8(tensor, i)
+            cells = detect_table_cells(
+                u8, (0, 0, u8.shape[1], u8.shape[0]))
+            dets = np.zeros((len(cells), 6), dtype=np.float64)
+            if len(cells):
+                dets[:, 1] = 0.9
+                dets[:, 2:] = cells
+            out.append(dets)
+        return out
+
+
+class StubRegionSession(_StubSessionBase):
+    """Stand-in for the PP-DocBlockLayout region-block session
+    (detect_layout_and_regions, structure.rs): normalized page tensor in,
+    per-image (N, 6) [code=0, score, box] container-frame detections."""
+
+    def __call__(self, tensor: np.ndarray) -> list[np.ndarray]:
+        out = []
+        for i in range(tensor.shape[0]):
+            boxes = detect_region_blocks(self._u8(tensor, i))
+            dets = np.zeros((len(boxes), 6), dtype=np.float64)
+            if len(boxes):
+                dets[:, 1] = 0.9
+                dets[:, 2:] = boxes
+            out.append(dets)
+        return out
+
+
 class StubCtcSession:
     """Deterministic stand-in for the CRNN/SVTR onnxruntime session at the
     recognition model boundary (reference crnn.rs:61-118): consumes the

@@ -371,3 +371,35 @@ def test_both_model_boundaries_match_golden(ray_session, corpus):
 
     table = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
     assert_matches_golden(table, corpus["golden_path"], N_DOCS)
+
+
+def test_orientation_seam_matches_golden(ray_session, corpus):
+    """orient_model_input=True routes document-orientation classification
+    through the session boundary (normalized tensor -> (B,4) probs ->
+    argmax); the corpus has ~10% rotated pages, so the seam is
+    load-bearing."""
+    from oar_ocr_ray.stages.media import MediaDetect, Recognize, cached_stage
+    import ray.data
+    import pyarrow as pa
+    import ray
+
+    from oar_ocr_ray.pipelines.extract import build_extract_pipeline
+    from oar_ocr_ray.stages.explode import make_explode_spans
+    from oar_ocr_ray.stages.reassemble import merge_partials, pack_partial
+    from oar_ocr_ray.stages.text import strip_text_spans
+
+    ds = ray.data.read_parquet(corpus["doc_files"], columns=["doc_id", "spans"])
+    ds = ds.map_batches(make_explode_spans(16), batch_format="pyarrow")
+    ds = ds.map_batches(strip_text_spans, batch_format="pyarrow")
+    ds = ds.map_batches(
+        MediaDetect,
+        fn_constructor_kwargs={"media_dir": corpus["media_dir"],
+                               "orient_model_input": True},
+        batch_format="pyarrow", batch_size=64, concurrency=1, num_cpus=1,
+    )
+    ds = ds.map_batches(Recognize, batch_format="pyarrow",
+                        batch_size=512, concurrency=1, num_cpus=1)
+    ds = ds.map_batches(pack_partial, batch_format="pyarrow")
+    ds = ds.groupby("part").map_groups(merge_partials, batch_format="pyarrow")
+    table = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    assert_matches_golden(table, corpus["golden_path"], N_DOCS)

@@ -254,3 +254,21 @@ def test_structure_all_seams_matches_golden(ray_session, corpus):
     _assert_golden(_run_structure(corpus, det_model_input=True,
                                   layout_model_input=True,
                                   rec_model_input=True), corpus)
+
+
+def test_structure_aux_seams_match_golden(ray_session, corpus):
+    """aux_model_input=True routes the remaining neural cores through
+    session boundaries — document orientation (PP-LCNet probs), table
+    wired/wireless classification, table-cell detection (crop-coord
+    detections mapped back to page coords) and region blocks — same
+    golden. With this, EVERY neural core in the structure flow is a
+    drop-in session constructor arg."""
+    _assert_golden(_run_structure(corpus, aux_model_input=True), corpus)
+
+
+def test_structure_every_seam_on_matches_golden(ray_session, corpus):
+    """All seven structure session seams at once: layout + text-det +
+    rec + orientation + table-cls + cells + regions."""
+    _assert_golden(_run_structure(
+        corpus, det_model_input=True, layout_model_input=True,
+        rec_model_input=True, aux_model_input=True), corpus)
