@@ -479,6 +479,34 @@ class RegionDetector:
         return dets[dets[:, 1] >= self.score_thresh, 2:].astype(np.float64)
 
 
+class FormulaRecognizer:
+    """Formula-recognition model boundary (reference pp_formulanet.rs +
+    unimernet_preprocess.rs): crop the formula block -> the REAL
+    crop_margin kernel (min-max normalize, binarize, content bbox) ->
+    normalize_image -> to_batch -> `session` returns raw latex ->
+    (the stitch applies normalize_latex, the reference's decode ->
+    normalize path). Feeds the SEPARATE formula-result stream that
+    fill_formula_content merges by best-IoU (stitching.rs:232-251). A
+    real UniMERNet ONNX wrapper is the `session` constructor arg."""
+
+    def __init__(self, session=None):
+        if session is None:
+            from ..stubs import StubFormulaSession
+
+            session = StubFormulaSession()
+        self.session = session
+
+    def __call__(self, img: np.ndarray, box) -> str:
+        from ..preprocess import crop_margin, normalize_image, to_batch
+
+        x0, y0 = max(int(box[0]), 0), max(int(box[1]), 0)
+        crop = img[y0:int(box[3]), x0:int(box[2])]
+        if crop.size == 0:
+            return ""
+        crop = crop_margin(crop)
+        return str(self.session(to_batch([normalize_image(crop)]))[0])
+
+
 class MediaDetect:
     """Actor: media span rows -> crop rows (others pass through).
 

@@ -47,6 +47,7 @@ from ..stubs import (
 from .media import (
     CellDetector,
     DbDetector,
+    FormulaRecognizer,
     LayoutDetector,
     LineReader,
     MediaStore,
@@ -72,7 +73,8 @@ class StructureExtract:
                  det_session=None, layout_model_input: bool = False,
                  layout_session=None, aux_model_input: bool = False,
                  orient_session=None, table_cls_session=None,
-                 cell_session=None, region_session=None):
+                 cell_session=None, region_session=None,
+                 formula_model_input: bool = False, formula_session=None):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
         else:
@@ -104,6 +106,9 @@ class StructureExtract:
         self.region_detector = (
             RegionDetector(session=region_session)
             if (aux_model_input or region_session is not None) else None)
+        self.formula_recognizer = (
+            FormulaRecognizer(session=formula_session)
+            if (formula_model_input or formula_session is not None) else None)
 
     def _one_page(self, ref: str):
         payload = self.store.get(ref)
@@ -123,7 +128,8 @@ class StructureExtract:
                                      orienter=self.orienter,
                                      table_classifier=self.table_classifier,
                                      cell_detector=self.cell_detector,
-                                     region_detector=self.region_detector)
+                                     region_detector=self.region_detector,
+                                     formula_recognizer=self.formula_recognizer)
         out["media_ref"] = ref
         return out
 
@@ -151,7 +157,8 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
                            orienter=None,
                            table_classifier=None,
                            cell_detector=None,
-                           region_detector=None) -> dict:
+                           region_detector=None,
+                           formula_recognizer=None) -> dict:
     """The full per-page PP-StructureV3 flow on a decoded grayscale page —
     the single-page OARStructure::predict_image surface
     (structure.rs:2271-2468), shared by the actor stage and the CLI.
@@ -279,9 +286,21 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
 
     table_html = compute_table_htmls(lb, labels, cells, boxes, texts)
 
+    # formula model boundary: a SEPARATE formula-result stream recognized
+    # per formula block (crop_margin -> tensor -> session), merged into the
+    # stitched elements by best-IoU fill (stitching.rs:232-251)
+    formulas = None
+    if formula_recognizer is not None and len(lb):
+        formulas = []
+        for j, label in enumerate(labels):
+            if label in ("formula", "formula_number"):
+                latex = formula_recognizer(img, lb[j])
+                if latex:
+                    formulas.append({"bbox": lb[j].tolist(), "latex": latex})
+
     elements = stitch_page_enhanced(
         lb, labels, scores, boxes, texts, page_w=float(w), page_h=float(h),
-        table_html=table_html, region_boxes=regions,
+        table_html=table_html, region_boxes=regions, formulas=formulas,
     )
     out = {
         "n_elements": len(elements),

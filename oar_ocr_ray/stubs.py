@@ -487,6 +487,21 @@ class StubRegionSession(_StubSessionBase):
         return out
 
 
+class StubFormulaSession(_StubSessionBase):
+    """Stand-in for the UniMERNet/PP-FormulaNet formula-recognition
+    session (reference pp_formulanet.rs / unimernet preprocess): consumes
+    the normalized formula-crop tensor, returns one RAW latex string per
+    batch item (a real wrapper decodes token ids to the same surface; the
+    stage applies normalize_latex downstream, the reference's
+    decode -> normalize path). Stand-in deviation (documented): input is
+    the crop at page resolution — the real resize_unimernet/pad_to_target
+    legs would blend the deterministic pixel-text cells."""
+
+    def __call__(self, tensor: np.ndarray) -> list[str]:
+        return [read_line_text(self._u8(tensor, i))
+                for i in range(tensor.shape[0])]
+
+
 class StubCtcSession:
     """Deterministic stand-in for the CRNN/SVTR onnxruntime session at the
     recognition model boundary (reference crnn.rs:61-118): consumes the

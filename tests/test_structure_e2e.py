@@ -266,9 +266,18 @@ def test_structure_aux_seams_match_golden(ray_session, corpus):
     _assert_golden(_run_structure(corpus, aux_model_input=True), corpus)
 
 
+def test_structure_formula_seam_matches_golden(ray_session, corpus):
+    """formula_model_input=True recognizes each formula block through the
+    dedicated model boundary (crop_margin -> tensor -> session) and merges
+    the results via the best-IoU fill_formula_content stream — the
+    reference's separate formula pipeline — same golden."""
+    _assert_golden(_run_structure(corpus, formula_model_input=True), corpus)
+
+
 def test_structure_every_seam_on_matches_golden(ray_session, corpus):
-    """All seven structure session seams at once: layout + text-det +
-    rec + orientation + table-cls + cells + regions."""
+    """All EIGHT structure session seams at once: layout + text-det +
+    rec + orientation + table-cls + cells + regions + formula."""
     _assert_golden(_run_structure(
         corpus, det_model_input=True, layout_model_input=True,
-        rec_model_input=True, aux_model_input=True), corpus)
+        rec_model_input=True, aux_model_input=True,
+        formula_model_input=True), corpus)
