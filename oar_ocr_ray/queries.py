@@ -3916,6 +3916,14 @@ def ann_recall_pq(sf_dir: str, k: int = 10):
     return _recall_vs_brute(sf_dir, ann_pq_topk(sf_dir, k=k), k)
 
 
+def ann_recall_ivf(sf_dir: str, k: int = 10):
+    """recall@k of the IVF (nprobe-pruned) index vs exact brute force —
+    completes the recall ledger across every approximate index in the
+    family (LSH single-probe, multi-probe, IVF, PQ): what nprobe=3 of 8
+    clusters costs in quality."""
+    return _recall_vs_brute(sf_dir, ann_ivf_topk(sf_dir, k=k), k)
+
+
 def _vocab_combine(partials, key: str, val: str = "n", n_parts: int = 64):
     """Exact (key, sum(val)) over per-batch partial counts via ONE coarse
     hash(key) % n_parts exchange + a vectorized in-partition pandas
@@ -4455,6 +4463,7 @@ QUERIES = {
     "ann_recall_eval": ann_recall_eval,
     "ann_pq_topk": ann_pq_topk,
     "ann_recall_pq": ann_recall_pq,
+    "ann_recall_ivf": ann_recall_ivf,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_recall_multiprobe": ann_recall_multiprobe,
     # rows-only / golden-verified in pytest (no SQL oracle)
@@ -4536,6 +4545,7 @@ ORACLE_SQL = {
     "ann_recall_eval": _ann_recall_sql(),
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_recall_pq": _ann_recall_sql(ANN_PQ_SQL),
+    "ann_recall_ivf": _ann_recall_sql(ANN_IVF_SQL),
     "ann_lsh_multiprobe_topk": _ann_lsh_multiprobe_sql(),
     "ann_recall_multiprobe": _ann_recall_sql(_ann_lsh_multiprobe_sql()),
 }
