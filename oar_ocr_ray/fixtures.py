@@ -923,14 +923,19 @@ def write_structure_corpus(
     )
     # bucket PERSISTED as a column: the sharded runner's bucket-group
     # filter is then parquet predicate pushdown / pc.is_in — zero Python
-    # per row in the refs read path (round-3 judge item #5)
+    # per row in the refs read path (round-3 judge item #5). The bucket
+    # COUNT rides in the schema metadata so a consumer run with a
+    # different n_buckets fails loudly instead of silently dropping the
+    # pages whose persisted ids its filter never matches.
+    refs_tbl = pa.table({
+        "media_ref": pa.array(sorted_refs, pa.string()),
+        "bucket": pa.array(
+            [media_bucket(r, n_media_buckets) for r in sorted_refs],
+            pa.int32()),
+    })
     pq.write_table(
-        pa.table({
-            "media_ref": pa.array(sorted_refs, pa.string()),
-            "bucket": pa.array(
-                [media_bucket(r, n_media_buckets) for r in sorted_refs],
-                pa.int32()),
-        }),
+        refs_tbl.replace_schema_metadata(
+            {b"n_buckets": str(n_media_buckets).encode()}),
         refs_path,
     )
     return {

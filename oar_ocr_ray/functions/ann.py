@@ -259,6 +259,11 @@ def pq_parity_fit(nv_sample: np.ndarray, m_sub: int = 4, k_codes: int = 8,
     not unit); empty codes keep their word."""
     d = nv_sample.shape[1]
     assert d % m_sub == 0, (d, m_sub)
+    if len(nv_sample) < k_codes:
+        raise ValueError(
+            f"pq_parity_fit: sample has {len(nv_sample)} vectors < k_codes="
+            f"{k_codes}; PQ codebooks need at least k_codes sample rows "
+            f"(use brute-force ann_topk on corpora this small).")
     sd = d // m_sub
     books = np.empty((m_sub, k_codes, sd), dtype=np.float64)
     for m in range(m_sub):

@@ -52,6 +52,14 @@ def build_structure_pipeline(
                 "`bucket` column (written by write_structure_corpus); "
                 "regenerate the manifest — per-row bucket hashing in the "
                 "read path is deliberately unsupported")
+        persisted = (schema.metadata or {}).get(b"n_buckets")
+        if persisted is not None and int(persisted) != n_buckets:
+            raise ValueError(
+                f"bucket-count mismatch: the refs manifest was written with "
+                f"n_buckets={int(persisted)} but this run filters with "
+                f"n_buckets={n_buckets} — pages in persisted buckets outside "
+                f"range({n_buckets}) would be SILENTLY dropped while every "
+                f"shard commits; re-run with n_buckets={int(persisted)}")
         flt = pads.field("bucket").isin(sorted(set(buckets)))
     ds = ray.data.read_parquet(
         refs_path, columns=["media_ref"], override_num_blocks=blocks,

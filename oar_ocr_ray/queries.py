@@ -1897,7 +1897,14 @@ def _structure_corpus(sf_dir: str) -> dict:
 
     from .fixtures import write_structure_corpus
 
-    key = hashlib.sha1(f"v8:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    from .fixtures import ENCODING_VERSION
+
+    # ENCODING_VERSION + a corpus-feature tag in the key: a stale cached
+    # corpus (no skewed lines, no persisted bucket column) must never
+    # silently feed this query (the same rule as bench.py's caches)
+    key = hashlib.sha1(
+        f"v9e{ENCODING_VERSION}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join("/tmp", f"oar_structure_{key}")
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):

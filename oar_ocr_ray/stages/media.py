@@ -770,12 +770,13 @@ class LineReader:
             return ""
         if crop.ndim == 3:  # RGB callers (CLI/server): channels identical
             crop = crop[:, :, 0]
-        arr = Recognize._maybe_unrotate(np.ascontiguousarray(crop))
+        # trim the det-margin BEFORE the skew gate (see Recognize)
+        arr, _ty, _tx = Recognize._trim_white(np.ascontiguousarray(crop))
+        arr = Recognize._maybe_unrotate(arr)
         if not self.model_input:
             from ..stubs import read_line_text
 
             return read_line_text(arr)
-        arr = Recognize._trim_white(arr)
         wh = arr.shape[1] / max(arr.shape[0], 1)
         text, _conf, _cols = ctc_greedy_decode(
             self._rec._session_logits([arr], max(wh, 1.0))[0])
@@ -847,24 +848,27 @@ class Recognize:
         return arr
 
     @staticmethod
-    def _trim_white(arr: np.ndarray) -> np.ndarray:
+    def _trim_white(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
         """Trim the pure-white unclip margin a det-model-boundary box
-        carries (<= ~2 px per side) down to the dark-content bounding box
-        BEFORE the rec resize: a real CRNN is margin-robust, but the
-        stand-in tensor decode is exact only when bilinear blends of
-        margin and content never form — in-contract content is < 128, so
-        the dark bbox is exactly the text rect. No-op for margin-free
-        crops (the default det path)."""
+        carries (<= ~2 px per side) down to the dark-content bounding box.
+        Runs BEFORE the skew gate (so margin-free content keeps the
+        max() < 128 fast path) and before the rec resize (a real CRNN is
+        margin-robust, but the stand-in tensor decode is exact only when
+        bilinear blends of margin and content never form — in-contract
+        content is < 128, so the dark bbox is exactly the text rect).
+        Returns (trimmed, y_offset, x_offset); a no-op zero-copy
+        (arr, 0, 0) for margin-free crops (the default det path) and for
+        skew crops (whose dark bbox spans the whole crop)."""
         dark = arr < 128
         rows = dark.any(axis=1)
         cols = dark.any(axis=0)
         if not rows.any():
-            return arr
+            return arr, 0, 0
         y0, y1 = int(rows.argmax()), len(rows) - int(rows[::-1].argmax())
         x0, x1 = int(cols.argmax()), len(cols) - int(cols[::-1].argmax())
         if (y0, x0) == (0, 0) and (y1, x1) == arr.shape[:2]:
-            return arr  # margin-free (default det path): zero-copy no-op
-        return np.ascontiguousarray(arr[y0:y1, x0:x1])
+            return arr, 0, 0  # margin-free: zero-copy no-op
+        return np.ascontiguousarray(arr[y0:y1, x0:x1]), y0, x0
 
     def _session_logits(self, arrs: list[np.ndarray], max_wh: float) -> list[np.ndarray]:
         """Preprocess chain + one session call over a list of crops;
@@ -907,25 +911,33 @@ class Recognize:
         texts = [""] * len(blobs)
         confs = np.zeros(len(blobs), dtype=np.float32)
         word_boxes: list[list[list[float]]] = [[] for _ in blobs]
-        max_wh = float(wh.max()) if len(wh) else 1.0  # crnn.rs:70-77 batch max
         if self.emit_word_boxes:
             bx0 = crops["bx0"].to_numpy(zero_copy_only=False)
             by0 = crops["by0"].to_numpy(zero_copy_only=False)
             bx1 = crops["bx1"].to_numpy(zero_copy_only=False)
             by1 = crops["by1"].to_numpy(zero_copy_only=False)
         order_list = [int(j) for j in order]
-        arrs = {
-            j: self._maybe_unrotate(
-                np.frombuffer(blobs[j], dtype=np.uint8).reshape(hs[j], ws[j]))
-            for j in order_list
-        }
+        arrs: dict[int, np.ndarray] = {}
+        trims: dict[int, tuple[int, int]] = {}
+        for j in order_list:
+            raw = np.frombuffer(blobs[j], dtype=np.uint8).reshape(hs[j], ws[j])
+            # det-margin trim BEFORE the skew gate: a white unclip margin
+            # would otherwise defeat _maybe_unrotate's max()<128 fast path
+            # and run the moments estimator on every det-boundary crop
+            t, ty, tx = self._trim_white(raw)
+            arrs[j] = self._maybe_unrotate(t)
+            trims[j] = (ty, tx)
+        # effective (post-trim) geometry drives the tensor width and the
+        # word-box math; computed with the same float32 rounding as the
+        # stored wh_ratio column so margin-free batches are bit-identical
+        ratios = {j: float(np.float32(arrs[j].shape[1] / max(arrs[j].shape[0], 1)))
+                  for j in order_list}
+        max_wh = max(ratios.values()) if ratios else 1.0  # crnn.rs:70-77
         logits_by_j: dict[int, np.ndarray] = {}
         if self.model_input:
             # model-boundary path: one preprocess chain + session call for
             # the wh-sorted batch; empty decodes retry once flipped (the
             # 0/180 text-line orientation policy as a second session call).
-            # Det-margin trim runs BEFORE the resize (see _trim_white).
-            arrs = {j: self._trim_white(a) for j, a in arrs.items()}
             lg = self._session_logits([arrs[j] for j in order_list], max_wh)
             logits_by_j = dict(zip(order_list, lg))
             decoded = {j: ctc_greedy_decode(logits_by_j[j]) for j in order_list}
@@ -961,9 +973,16 @@ class Recognize:
             if self.emit_word_boxes and text:
                 from ..ctc import ctc_word_boxes
 
+                # word boxes anchor on the TRIMMED content box (det-margin
+                # offsets applied) with the post-trim ratio — the same
+                # geometry the session tensor was built from; margin-free
+                # crops reduce to the stored box/ratio bit-identically
+                ty, tx = trims[j]
+                ch, cw = arrs[j].shape[:2]
                 wb = ctc_word_boxes(
-                    (bx0[j], by0[j], bx1[j], by1[j]), text, cols,
-                    seq_len=len(logits), wh_ratio=float(wh[j]), max_wh_ratio=max_wh,
+                    (bx0[j] + tx, by0[j] + ty,
+                     bx0[j] + tx + cw, by0[j] + ty + ch), text, cols,
+                    seq_len=len(logits), wh_ratio=ratios[j], max_wh_ratio=max_wh,
                 )
                 word_boxes[j] = [list(map(float, b)) for b in wb]
 

@@ -104,3 +104,48 @@ def test_session_boxes_match_truth_over_fixture_pages():
                 j = int(np.argmin(np.abs(tc - (b[:2] + b[2:]) / 2.0).sum(1)))
                 assert np.abs(b - true[j]).max() <= 2, f"page {i} box {b}"
     assert n_boxes > 100  # the sweep actually exercised detections
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_word_boxes_under_det_seam_stay_inside_truth(tmp_path):
+    """Det-seam crops carry unclip margins; word boxes must anchor on the
+    TRIMMED content box (not the margined det box), so every char box
+    stays inside the TRUE line rect — the round-4 review finding."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from oar_ocr_ray.fixtures import write_corpus
+    from oar_ocr_ray.sorting import sort_quad_boxes_indices
+    from oar_ocr_ray.stages.explode import make_explode_spans
+    from oar_ocr_ray.stages.media import MediaDetect, Recognize
+    from oar_ocr_ray.stages.text import strip_text_spans
+
+    meta = write_corpus(str(tmp_path / "c"), 40, seed=9, n_doc_files=2)
+    docs = pq.read_table(meta["doc_files"][0])
+    batch = strip_text_spans(make_explode_spans(8)(docs))
+    det = MediaDetect(media_dir=meta["media_dir"], det_model_input=True)(batch)
+    rec = Recognize(emit_word_boxes=True, model_input=True)(det)
+    rec = rec.filter(pc.and_(pc.equal(rec["kind"], "image"),
+                             pc.is_valid(rec["bx0"])))
+    truth = {}
+    for f in os.listdir(meta["media_dir"]):
+        if not f.endswith(".parquet"):
+            continue
+        for r in pq.read_table(os.path.join(meta["media_dir"], f)).to_pylist():
+            bs = r["boxes"]
+            if bs:
+                order = sort_quad_boxes_indices(np.array(
+                    [[b["x0"], b["y0"], b["x1"], b["y1"]] for b in bs],
+                    dtype=np.float64))
+                truth[r["media_ref"]] = [bs[i] for i in order]
+    checked = 0
+    for row in rec.to_pylist():
+        tb = truth[row["media_ref"]][row["det_idx"]]
+        assert row["text"] == tb["text"], row["media_ref"]
+        for b in (row["word_boxes"] or []):
+            assert tb["x0"] - 1e-4 <= b[0] <= b[2] <= tb["x1"] + 1e-4
+            assert tb["y0"] - 1e-4 <= b[1] <= b[3] <= tb["y1"] + 1e-4
+            checked += 1
+    assert checked > 50  # the sweep actually exercised word boxes

@@ -281,3 +281,15 @@ def test_structure_every_seam_on_matches_golden(ray_session, corpus):
         corpus, det_model_input=True, layout_model_input=True,
         rec_model_input=True, aux_model_input=True,
         formula_model_input=True), corpus)
+
+
+def test_structure_bucket_count_mismatch_fails_loudly(ray_session, corpus):
+    """A consumer run whose n_buckets disagrees with the manifest's
+    persisted bucket count must refuse loudly — a silent mismatch would
+    drop every page whose persisted id the filter never matches while
+    all shards commit successfully (the round-4 review finding)."""
+    from oar_ocr_ray.pipelines.structure import build_structure_pipeline
+
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        build_structure_pipeline(corpus["refs_path"], corpus["media_dir"],
+                                 buckets=[0, 1], n_buckets=4)
