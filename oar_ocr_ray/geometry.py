@@ -477,35 +477,43 @@ def db_boxes_from_bitmap(
     comps = connected_component_boxes(p > thresh, min_area=1,
                                       max_candidates=max_candidates)
     h, w = p.shape[:2]
-    boxes, scores = [], []
-    for x0, y0, x1, y1 in comps:
-        if min(x1 - x0, y1 - y0) < min_size:
-            continue
-        quad = aabb_to_quad(np.array([[x0, y0, x1, y1]], dtype=np.float64))[0]
+    if not len(comps):
+        return np.zeros((0, 4), dtype=np.int64), np.zeros(0)
+    # Candidates here are axis-aligned component boxes, for which the
+    # unclip -> min_area_rect leg has an EXACT closed form: the outward
+    # offset of an axis-aligned rect by delta = ratio*A/P is the rect
+    # grown by delta on every side, and its min-area rect is itself
+    # (unclip_box's corner construction reduces to exactly this — the
+    # equivalence is asserted against the general kernels in
+    # test_db_boundary.py). Everything below is vectorized across
+    # candidates; only the score windows loop (tens of boxes/page).
+    cb = comps.astype(np.float64)
+    cw = cb[:, 2] - cb[:, 0]
+    chh = cb[:, 3] - cb[:, 1]
+    keep = np.minimum(cw, chh) >= min_size
+    scores = np.zeros(len(cb))
+    for i in np.flatnonzero(keep):
+        x0, y0, x1, y1 = comps[i]
         if score_mode == "slow":
             win = p[y0:y1, x0:x1]
             hot = win[win > thresh]
-            score = float(hot.mean()) if hot.size else 0.0
+            scores[i] = float(hot.mean()) if hot.size else 0.0
         else:
-            score = box_score_fast(p, quad)
-        if score < box_thresh:
-            continue
-        rect = min_area_rect(unclip_box(quad, unclip_ratio))
-        side_a = float(np.linalg.norm(rect[1] - rect[0]))
-        side_b = float(np.linalg.norm(rect[3] - rect[0]))
-        if min(side_a, side_b) < min_size + 2:
-            continue
-        bb = quad_to_aabb(rect)[0]
-        boxes.append([
-            int(np.clip(np.rint(bb[0]), 0, w)),
-            int(np.clip(np.rint(bb[1]), 0, h)),
-            int(np.clip(np.rint(bb[2]), 0, w)),
-            int(np.clip(np.rint(bb[3]), 0, h)),
-        ])
-        scores.append(score)
-    if not boxes:
+            scores[i] = box_score_fast(
+                p, aabb_to_quad(comps[i:i + 1].astype(np.float64))[0])
+    keep &= scores >= box_thresh
+    delta = np.divide(unclip_ratio * cw * chh, 2.0 * (cw + chh),
+                      out=np.zeros(len(cb)), where=(cw + chh) > 0)
+    keep &= (np.minimum(cw, chh) + 2 * delta) >= (min_size + 2)
+    if not keep.any():
         return np.zeros((0, 4), dtype=np.int64), np.zeros(0)
-    return np.asarray(boxes, dtype=np.int64), np.asarray(scores)
+    out = np.empty((int(keep.sum()), 4), dtype=np.int64)
+    d = delta[keep]
+    out[:, 0] = np.clip(np.rint(cb[keep, 0] - d), 0, w)
+    out[:, 1] = np.clip(np.rint(cb[keep, 1] - d), 0, h)
+    out[:, 2] = np.clip(np.rint(cb[keep, 2] + d), 0, w)
+    out[:, 3] = np.clip(np.rint(cb[keep, 3] + d), 0, h)
+    return out, scores[keep]
 
 
 def mask_regions(img: np.ndarray, bboxes: np.ndarray, fill_value: int = 255) -> np.ndarray:

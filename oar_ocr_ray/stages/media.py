@@ -813,11 +813,19 @@ class Recognize:
 
     def __init__(self, drop_empty: bool = True, emit_word_boxes: bool = False,
                  model_input: bool = False, rec_session=None,
-                 rec_target_h: int = 48):
+                 rec_target_h: int = 48, rec_session_batch: int = 32):
         self.drop_empty = drop_empty
         self.emit_word_boxes = emit_word_boxes
         self.model_input = model_input
         self.rec_target_h = rec_target_h
+        # session sub-batch size (the reference's region_batch_size; docs
+        # recommend 32 medium / 16 low VRAM — constants.rs + ocr.rs:740).
+        # Every tensor in a sub-batch is padded to the sub-batch max
+        # wh_ratio, so small ratio-homogeneous sub-batches over the
+        # wh-SORTED crops bound the padding waste: one giant batch pads
+        # every crop to the global max width (measured 5x the tensor-path
+        # wall at batch_size=512).
+        self.rec_session_batch = rec_session_batch
         if model_input and rec_session is None:
             from ..stubs import StubCtcSession
 
@@ -934,23 +942,38 @@ class Recognize:
                   for j in order_list}
         max_wh = max(ratios.values()) if ratios else 1.0  # crnn.rs:70-77
         logits_by_j: dict[int, np.ndarray] = {}
+        maxwh_by_j: dict[int, float] = {}
         if self.model_input:
-            # model-boundary path: one preprocess chain + session call for
-            # the wh-sorted batch; empty decodes retry once flipped (the
-            # 0/180 text-line orientation policy as a second session call).
-            lg = self._session_logits([arrs[j] for j in order_list], max_wh)
-            logits_by_j = dict(zip(order_list, lg))
+            # model-boundary path: the wh-SORTED crops run through the
+            # session in ratio-homogeneous SUB-BATCHES of rec_session_batch
+            # (the reference's region_batch_size recognition loop,
+            # ocr.rs:733-740): each sub-batch's tensor width is ITS max
+            # wh_ratio (crnn.rs:70-77 is per recognition batch), so
+            # padding stays proportional. Empty decodes retry once flipped
+            # (the 0/180 policy as a second session call).
+            cb = max(1, self.rec_session_batch)
+            retry: list[int] = []
+            for c0 in range(0, len(order_list), cb):
+                chunk = order_list[c0:c0 + cb]
+                mw = max(ratios[j] for j in chunk)
+                lg = self._session_logits([arrs[j] for j in chunk], mw)
+                for j, l in zip(chunk, lg):
+                    logits_by_j[j] = l
+                    maxwh_by_j[j] = mw
             decoded = {j: ctc_greedy_decode(logits_by_j[j]) for j in order_list}
             retry = [j for j in order_list if not decoded[j][0]]
-            if retry:
-                lg2 = self._session_logits(
-                    [np.ascontiguousarray(np.rot90(arrs[j], 2)) for j in retry],
-                    max_wh)
-                for j, l2 in zip(retry, lg2):
-                    d2 = ctc_greedy_decode(l2)
-                    if d2[0]:
-                        logits_by_j[j] = l2
-                        decoded[j] = d2
+            for j in retry:
+                # flipped retry at the crop's FIRST-PASS tensor width, so
+                # its geometry (and word boxes) stay consistent with the
+                # sub-batch that first sized it; retries are the flipped
+                # minority (~10%), so per-item calls are cheap
+                l2 = self._session_logits(
+                    [np.ascontiguousarray(np.rot90(arrs[j], 2))],
+                    maxwh_by_j[j])[0]
+                d2 = ctc_greedy_decode(l2)
+                if d2[0]:
+                    logits_by_j[j] = l2
+                    decoded[j] = d2
         else:
             for j in order_list:
                 # text-line orientation stage (PP-LCNet 0/180 classes,
@@ -982,7 +1005,10 @@ class Recognize:
                 wb = ctc_word_boxes(
                     (bx0[j] + tx, by0[j] + ty,
                      bx0[j] + tx + cw, by0[j] + ty + ch), text, cols,
-                    seq_len=len(logits), wh_ratio=ratios[j], max_wh_ratio=max_wh,
+                    seq_len=len(logits), wh_ratio=ratios[j],
+                    # tensor path: the SUB-BATCH max that sized this crop's
+                    # tensor; pixel path: the map_batches batch max
+                    max_wh_ratio=maxwh_by_j.get(j, max_wh),
                 )
                 word_boxes[j] = [list(map(float, b)) for b in wb]
 

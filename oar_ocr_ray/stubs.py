@@ -318,20 +318,44 @@ class StubDbSession:
         """Best shrunk kernel for one component's mask slice, or None when
         no erosion depth yields a postprocess-surviving kernel. A depth
         that splits the component (jagged skewed bands under L1 erosion)
-        is not a candidate — one text line must stay one kernel."""
+        is not a candidate — one text line must stay one kernel.
+
+        Fast path: an EXACT rect (the straight-line majority) erodes to
+        the analytically shrunk rect and can never split, so its best
+        depth is closed-form — no erosion passes, no per-depth component
+        counts (these dominated the det-session wall time)."""
+        r = self.unclip_ratio
+        h, w = sub.shape
+        if sub.all():  # exact rect: erosion by d = integer shrink by d
+            best_d, best_err = None, np.inf
+            for d in range(0, self.max_depth + 1):
+                ws, hs = w - 2 * d, h - 2 * d
+                if min(ws, hs) < self.min_size:
+                    break
+                delta = r * ws * hs / (2.0 * (ws + hs))
+                err = abs(delta - d)
+                if err < best_err:
+                    best_d, best_err = d, err
+                if delta - d < -1.5:
+                    break  # monotone decreasing: deeper only overshoots
+            if best_d is None:
+                return None
+            k = np.zeros_like(sub)
+            k[best_d:h - best_d, best_d:w - best_d] = True
+            return k
+
         from .geometry import connected_component_boxes
 
-        r = self.unclip_ratio
         n0 = len(connected_component_boxes(sub, min_area=1, max_candidates=2**62))
         best, best_err = None, None
         cur, d = sub, 0
         while cur.any() and d <= self.max_depth:
             ys, xs = np.nonzero(cur)
-            w = int(xs.max() - xs.min()) + 1
-            h = int(ys.max() - ys.min()) + 1
-            if min(w, h) < self.min_size:
+            cw = int(xs.max() - xs.min()) + 1
+            ch = int(ys.max() - ys.min()) + 1
+            if min(cw, ch) < self.min_size:
                 break  # erosion only shrinks further — no candidate ahead
-            delta = r * w * h / (2.0 * (w + h))
+            delta = r * cw * ch / (2.0 * (cw + ch))
             err = abs(delta - d)
             if err < (best_err if best_err is not None else np.inf):
                 ncomp = len(connected_component_boxes(

@@ -149,3 +149,27 @@ def test_word_boxes_under_det_seam_stay_inside_truth(tmp_path):
             assert tb["y0"] - 1e-4 <= b[1] <= b[3] <= tb["y1"] + 1e-4
             checked += 1
     assert checked > 50  # the sweep actually exercised word boxes
+
+
+def test_closed_form_unclip_equals_general_kernels():
+    """db_boxes_from_bitmap's axis-aligned closed form (grow by
+    delta = ratio*A/P per side) must equal the general
+    unclip_box -> min_area_rect kernel chain on random rects."""
+    from oar_ocr_ray.geometry import (
+        aabb_to_quad,
+        min_area_rect,
+        quad_to_aabb,
+        unclip_box,
+    )
+
+    rng = np.random.default_rng(17)
+    for _ in range(200):
+        x0, y0 = rng.integers(0, 50, 2)
+        w, h = rng.integers(3, 80), rng.integers(3, 30)
+        box = np.array([[x0, y0, x0 + w, y0 + h]], dtype=np.float64)
+        rect = min_area_rect(unclip_box(aabb_to_quad(box)[0], 1.5))
+        general = quad_to_aabb(rect)[0]
+        delta = 1.5 * w * h / (2.0 * (w + h))
+        closed = np.array([x0 - delta, y0 - delta,
+                           x0 + w + delta, y0 + h + delta])
+        assert np.abs(general - closed).max() < 1e-9
