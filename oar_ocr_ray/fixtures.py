@@ -96,7 +96,7 @@ DEFAULT_MEDIA_BUCKETS = 16
 # in) changes incompatibly — bench.py embeds this in its /tmp cache keys so
 # a stale cached corpus can never silently feed an incompatible decoder
 # (round-3 advice: the v1 flagship key survived the 3-px-cell redefinition).
-ENCODING_VERSION = 2
+ENCODING_VERSION = 3  # v3: stitch-threshold-safe line placement (jitter-robust goldens)
 
 # pixel-text cell encoding (see module docstring): each [len]/[char] value
 # occupies a CELL_W-wide constant column band; rows are identical
@@ -636,10 +636,50 @@ def _draw_block(img, x0, y0, x1, y1, label):
     img[y0 + 1, x0] = BLOCK_TAG_BASE + LAYOUT_CODE_OF[label]
 
 
+def _stitch_safe_x(x0, bw, x_lo, x_hi, container):
+    """Nudge a line's x so its RIGHT edge stays >=3px away from
+    smart_join's paragraph-break boundary right_gap == 0.3*cw
+    (textproc.py): the det seam's documented ~1px unclip jitter must
+    never flip the soft-wrap/newline decision, so fixture geometry keeps
+    every golden-bearing threshold comparison out of jitter range."""
+    if container is None:
+        return x0
+    cx0, cx1 = container
+    cut = cx1 - 0.3 * (cx1 - cx0)  # line x1 at the decision boundary
+    if abs((x0 + bw) - cut) >= 3:
+        return x0
+    for cand_x1 in (int(np.ceil(cut + 3.0)), int(np.floor(cut - 3.0))):
+        cand = cand_x1 - bw
+        if x_lo <= cand <= x_hi - bw:
+            return cand
+    return x0  # container too narrow to dodge (single-line blocks)
+
+
+def _stitch_safe_y(y0, bh, y_hi, prev_cy):
+    """Keep consecutive-line cy spacing >=3px away from smart_join's
+    y_tol=10 same-visual-line boundary (a pair of det-seam boxes can
+    drift ~2px combined). Returns the adjusted y0, or None when no
+    jitter-safe placement fits below (caller drops the line)."""
+    if prev_cy is None:
+        return y0
+    cy = y0 + bh / 2.0
+    if abs(cy - prev_cy - 10.0) >= 3:
+        return y0
+    cand = int(np.ceil(prev_cy + 13.0 - bh / 2.0))
+    if cand + bh <= y_hi:
+        return cand
+    return None
+
+
 def _draw_line(img, rng, x_lo, y_lo, x_hi, y_hi, flip_p: float = 0.1,
-               skew_p: float = 0.08):
+               skew_p: float = 0.08, container=None, prev_cy=None):
     """Draw one encoded text line INSIDE the given region; returns
     (x0, y0, x1, y1, text) or None if it doesn't fit.
+
+    `container` (block x0, x1) and `prev_cy` (previous line's y-center in
+    the same block) keep the placement >=3px clear of the two stitch
+    decision boundaries (paragraph-break right_gap, same-line y_tol) so
+    the det seam's ~1px box jitter can never flip a golden.
 
     With probability flip_p the line is rendered 180°-ROTATED (the
     upside-down-line case the reference's text-line orientation classifier
@@ -660,10 +700,14 @@ def _draw_line(img, rng, x_lo, y_lo, x_hi, y_hi, flip_p: float = 0.1,
             ch, cw = core.shape
             if ch <= avail_h and cw < avail_w:
                 sx0 = x_lo + int(rng.integers(0, avail_w - cw))
+                sx0 = _stitch_safe_x(sx0, cw, x_lo, x_hi, container)
                 sy0 = y_lo + int(rng.integers(0, avail_h - ch + 1))
-                region = img[sy0:sy0 + ch, sx0:sx0 + cw]
-                img[sy0:sy0 + ch, sx0:sx0 + cw] = np.minimum(region, core)
-                return (sx0, sy0, sx0 + cw, sy0 + ch, text[:12])
+                sy0 = _stitch_safe_y(sy0, ch, y_hi, prev_cy)
+                if sy0 is not None:
+                    region = img[sy0:sy0 + ch, sx0:sx0 + cw]
+                    img[sy0:sy0 + ch, sx0:sx0 + cw] = np.minimum(region, core)
+                    return (sx0, sy0, sx0 + cw, sy0 + ch, text[:12])
+                return None
         # didn't fit at an angle: fall through to a straight line
     bw = patch_width(len(text))
     if bw >= avail_w:
@@ -673,7 +717,11 @@ def _draw_line(img, rng, x_lo, y_lo, x_hi, y_hi, flip_p: float = 0.1,
             return None
     bh = int(rng.integers(8, min(13, avail_h + 1)))
     x0 = x_lo + int(rng.integers(0, avail_w - bw))
+    x0 = _stitch_safe_x(x0, bw, x_lo, x_hi, container)
     y0 = y_lo + int(rng.integers(0, max(avail_h - bh, 0) + 1))
+    y0 = _stitch_safe_y(y0, bh, y_hi, prev_cy)
+    if y0 is None:
+        return None
     patch = text_patch(text, bh)
     if rng.random() < flip_p:
         patch = np.rot90(patch, 2).copy()
@@ -728,12 +776,14 @@ def gen_structure_page(rng: np.random.Generator):
         ly = y0 + 3
         # seal lines stay straight (the seal path re-detects via quad warp)
         sp = 0.0 if label == "seal" else 0.08
+        prev_cy = None
         for _ in range(n_lines):
             ln = _draw_line(img, rng, x0 + 3, ly, x1 - 3, min(ly + 13, y1 - 3),
-                            skew_p=sp)
+                            skew_p=sp, container=(x0, x1), prev_cy=prev_cy)
             if ln is not None:
                 lines.append(ln)
                 ly = ln[3] + 2
+                prev_cy = (ln[1] + ln[3]) / 2.0
             if ly >= y1 - 9:
                 break
 

@@ -748,43 +748,90 @@ class MediaDetect:
 
 
 class LineReader:
-    """Per-crop recognition read for pipelines OUTSIDE the batched
-    flagship Recognize stage — the structure path's line reads, fallback
-    OCR, cell-split and seal re-recognition. The reference runs ONE rec
-    stack in both pipelines (structure.rs:2140-2216), so this chains the
-    SAME flagship policies per crop: ImageRotationProcessor skew gate
-    (Recognize._maybe_unrotate) -> pixel cell read with the fused 0/180
-    retry; with model_input=True instead: white-margin trim -> the rec
-    preprocess chain -> rec_session -> REAL greedy CTC decode -> 180°
-    retry as a second session call. A real ONNX CRNN wrapper drops in via
-    rec_session exactly as in Recognize."""
+    """Batched recognition reads for pipelines OUTSIDE the flagship
+    Recognize stage — the structure path's line reads, fallback OCR,
+    cell-split and seal re-recognition. The reference runs ONE rec stack
+    in both pipelines and feeds it wh-sorted region_batch_size batches
+    (structure.rs:2140-2216), so `read_many` chains the SAME flagship
+    policies per crop — white-margin trim, ImageRotationProcessor skew
+    gate (Recognize._maybe_unrotate) — then, with model_input=True, runs
+    the wh-SORTED crops through Recognize._session_logits in
+    ratio-homogeneous SUB-BATCHES of region_batch_size (reference default
+    8, constants.rs): rec preprocess chain -> rec_session -> REAL greedy
+    CTC decode, with empty decodes retried flipped 180° grouped by their
+    first-pass tensor width. A real ONNX CRNN wrapper drops in via
+    rec_session exactly as in Recognize, and does one forward per
+    sub-batch — never per crop."""
 
     def __init__(self, model_input: bool = False, rec_session=None,
-                 rec_target_h: int = 48):
+                 rec_target_h: int = 48, region_batch_size: int = 8):
         self._rec = Recognize(model_input=model_input, rec_session=rec_session,
                               rec_target_h=rec_target_h)
         self.model_input = model_input
+        self.region_batch_size = max(1, region_batch_size)
 
     def read(self, crop: np.ndarray) -> str:
-        if crop.size == 0:
-            return ""
-        if crop.ndim == 3:  # RGB callers (CLI/server): channels identical
-            crop = crop[:, :, 0]
-        # trim the det-margin BEFORE the skew gate (see Recognize)
-        arr, _ty, _tx = Recognize._trim_white(np.ascontiguousarray(crop))
-        arr = Recognize._maybe_unrotate(arr)
+        return self.read_many([crop])[0]
+
+    def read_many(self, crops: list) -> list[str]:
+        """Recognize a group of crops; returns texts aligned to the input
+        order ('' for empty/unreadable crops). One group = one reference
+        recognition loop (a page's main det pass, its seal quads, its
+        fallback blocks, its cell-split segments)."""
+        texts = [""] * len(crops)
+        arrs: dict[int, np.ndarray] = {}
+        for i, crop in enumerate(crops):
+            if crop is None or crop.size == 0:
+                continue
+            if crop.ndim == 3:  # RGB callers (CLI/server): channels identical
+                crop = crop[:, :, 0]
+            # trim the det-margin BEFORE the skew gate (see Recognize)
+            arr, _ty, _tx = Recognize._trim_white(np.ascontiguousarray(crop))
+            arrs[i] = Recognize._maybe_unrotate(arr)
+        if not arrs:
+            return texts
         if not self.model_input:
             from ..stubs import read_line_text
 
-            return read_line_text(arr)
-        wh = arr.shape[1] / max(arr.shape[0], 1)
-        text, _conf, _cols = ctc_greedy_decode(
-            self._rec._session_logits([arr], max(wh, 1.0))[0])
-        if not text:
-            flipped = np.ascontiguousarray(np.rot90(arr, 2))
-            text, _conf, _cols = ctc_greedy_decode(
-                self._rec._session_logits([flipped], max(wh, 1.0))[0])
-        return text
+            for i, a in arrs.items():
+                texts[i] = read_line_text(a)
+            return texts
+        # model-boundary path: wh-sort, then sub-batches of
+        # region_batch_size whose tensor width is the sub-batch max
+        # wh_ratio (>= 1.0 floor), exactly the flagship Recognize scheme
+        # at the structure path's batch granularity
+        ratios = {i: float(np.float32(a.shape[1] / max(a.shape[0], 1)))
+                  for i, a in arrs.items()}
+        order = sorted(arrs, key=lambda i: (ratios[i], i))
+        cb = self.region_batch_size
+        maxwh_by: dict[int, float] = {}
+        decoded: dict[int, tuple] = {}
+        for c0 in range(0, len(order), cb):
+            chunk = order[c0:c0 + cb]
+            mw = max(1.0, max(ratios[i] for i in chunk))
+            lg = self._rec._session_logits([arrs[i] for i in chunk], mw)
+            for i, l in zip(chunk, lg):
+                decoded[i] = ctc_greedy_decode(l)
+                maxwh_by[i] = mw
+        # flipped 0/180 retries, batched per first-pass tensor width so
+        # each retry sub-batch is ONE session call at consistent geometry
+        retry: dict[float, list[int]] = {}
+        for i in order:
+            if not decoded[i][0]:
+                retry.setdefault(maxwh_by[i], []).append(i)
+        for mw, grp in retry.items():
+            for c0 in range(0, len(grp), cb):
+                chunk = grp[c0:c0 + cb]
+                lg = self._rec._session_logits(
+                    [np.ascontiguousarray(np.rot90(arrs[i], 2))
+                     for i in chunk], mw)
+                for i, l in zip(chunk, lg):
+                    d2 = ctc_greedy_decode(l)
+                    if d2[0]:
+                        decoded[i] = d2
+        for i in order:
+            texts[i] = decoded[i][0]
+        return texts
 
 
 class Recognize:
@@ -952,7 +999,6 @@ class Recognize:
             # padding stays proportional. Empty decodes retry once flipped
             # (the 0/180 policy as a second session call).
             cb = max(1, self.rec_session_batch)
-            retry: list[int] = []
             for c0 in range(0, len(order_list), cb):
                 chunk = order_list[c0:c0 + cb]
                 mw = max(ratios[j] for j in chunk)
@@ -961,19 +1007,26 @@ class Recognize:
                     logits_by_j[j] = l
                     maxwh_by_j[j] = mw
             decoded = {j: ctc_greedy_decode(logits_by_j[j]) for j in order_list}
-            retry = [j for j in order_list if not decoded[j][0]]
-            for j in retry:
-                # flipped retry at the crop's FIRST-PASS tensor width, so
-                # its geometry (and word boxes) stay consistent with the
-                # sub-batch that first sized it; retries are the flipped
-                # minority (~10%), so per-item calls are cheap
-                l2 = self._session_logits(
-                    [np.ascontiguousarray(np.rot90(arrs[j], 2))],
-                    maxwh_by_j[j])[0]
-                d2 = ctc_greedy_decode(l2)
-                if d2[0]:
-                    logits_by_j[j] = l2
-                    decoded[j] = d2
+            # flipped retries run at each crop's FIRST-PASS tensor width,
+            # so geometry (and word boxes) stay consistent with the
+            # sub-batch that first sized it — GROUPED by that width so the
+            # ~10% flipped minority costs one session call per retry
+            # sub-batch, not one per crop
+            retry_by_mw: dict[float, list[int]] = {}
+            for j in order_list:
+                if not decoded[j][0]:
+                    retry_by_mw.setdefault(maxwh_by_j[j], []).append(j)
+            for mw, grp in retry_by_mw.items():
+                for c0 in range(0, len(grp), cb):
+                    chunk = grp[c0:c0 + cb]
+                    lgs = self._session_logits(
+                        [np.ascontiguousarray(np.rot90(arrs[j], 2))
+                         for j in chunk], mw)
+                    for j, l2 in zip(chunk, lgs):
+                        d2 = ctc_greedy_decode(l2)
+                        if d2[0]:
+                            logits_by_j[j] = l2
+                            decoded[j] = d2
         else:
             for j in order_list:
                 # text-line orientation stage (PP-LCNet 0/180 classes,

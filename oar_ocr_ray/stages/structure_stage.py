@@ -74,7 +74,8 @@ class StructureExtract:
                  layout_session=None, aux_model_input: bool = False,
                  orient_session=None, table_cls_session=None,
                  cell_session=None, region_session=None,
-                 formula_model_input: bool = False, formula_session=None):
+                 formula_model_input: bool = False, formula_session=None,
+                 seal_session=None):
         if media_refs is not None:
             self.store = SharedMediaStore(media_refs)
         else:
@@ -88,6 +89,15 @@ class StructureExtract:
         self.line_detector = (
             DbDetector(session=det_session)
             if (det_model_input or det_session is not None) else None)
+        # seal-text detection is its OWN DB model with the seal preset
+        # (reference ocr.rs:264-301: limit 736/min, thresh 0.2 /
+        # box_thresh 0.6, unclip_ratio 0.5) — wired whenever the det seam
+        # is on so the seal path runs the same session-shaped boundary
+        self.seal_detector = (
+            DbDetector(session=seal_session, thresh=0.2, box_thresh=0.6,
+                       unclip_ratio=0.5)
+            if (det_model_input or det_session is not None
+                or seal_session is not None) else None)
         self.layout_detector = (
             LayoutDetector(session=layout_session)
             if (layout_model_input or layout_session is not None) else None)
@@ -124,6 +134,7 @@ class StructureExtract:
         out = predict_structure_page(img, min_line_area=self.min_line_area,
                                      reader=self.reader,
                                      line_detector=self.line_detector,
+                                     seal_detector=self.seal_detector,
                                      layout_detector=self.layout_detector,
                                      orienter=self.orienter,
                                      table_classifier=self.table_classifier,
@@ -153,6 +164,7 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
                            return_elements: bool = False,
                            reader: LineReader | None = None,
                            line_detector=None,
+                           seal_detector=None,
                            layout_detector=None,
                            orienter=None,
                            table_classifier=None,
@@ -206,9 +218,14 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
     )
     seal_quads = np.zeros((0, 4, 2))
     if len(seal_blocks):
-        seal_quads = detect_seal_text(
-            img, seal_blocks, lambda c, ma: detect_boxes(c, min_area=ma)
-        )
+        # det seam on: per-block crops run through the DbDetector seal
+        # preset (its thresholds replace the stand-in's min_area knob;
+        # like the page seam, the stand-in session consumes the crop at
+        # native resolution — a real wrapper owns the 736/min det resize)
+        seal_fn = ((lambda c, ma: seal_detector(c))
+                   if seal_detector is not None
+                   else (lambda c, ma: detect_boxes(c, min_area=ma)))
+        seal_quads = detect_seal_text(img, seal_blocks, seal_fn)
         if len(line_boxes):
             cx = (line_boxes[:, 0] + line_boxes[:, 2]) / 2
             cy = (line_boxes[:, 1] + line_boxes[:, 3]) / 2
@@ -217,13 +234,18 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
                 inside |= (cx >= sb[0]) & (cx < sb[2]) & (cy >= sb[1]) & (cy < sb[3])
             line_boxes = line_boxes[~inside]
 
-    texts, boxes = [], []
+    # the SHARED flagship read — skew gate + 0/180 retry (+ tensor path) —
+    # batched per recognition group: the reference feeds its one rec stack
+    # wh-sorted region_batch_size batches (structure.rs:2140-2216), so
+    # each group below is one read_many call (sub-batched inside), never
+    # a per-crop B=1 session forward
+    line_crops = []
     for b in line_boxes:
         x0, y0, x1, y1 = (int(np.floor(b[0])), int(np.floor(b[1])),
                           int(np.ceil(b[2])), int(np.ceil(b[3])))
-        crop = img[max(y0, 0):min(y1, h), max(x0, 0):min(x1, w)]
-        # the SHARED flagship read: skew gate + 0/180 retry (+ tensor path)
-        t = reader.read(crop)
+        line_crops.append(img[max(y0, 0):min(y1, h), max(x0, 0):min(x1, w)])
+    texts, boxes = [], []
+    for t, b in zip(reader.read_many(line_crops), line_boxes):
         if t:  # empty recognition dropped (structure.rs:2200 precedent)
             texts.append(t)
             boxes.append(b)
@@ -232,8 +254,9 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
     # seal quads recognized through the perspective quad crop (the
     # curved-text path; appended BEFORE fallback OCR so a recognized
     # seal counts as matched, structure.rs:1794 ordering)
-    for q in seal_quads:
-        t = reader.read(get_rotate_crop_image(img, q))
+    seal_texts = reader.read_many(
+        [get_rotate_crop_image(img, q) for q in seal_quads])
+    for q, t in zip(seal_quads, seal_texts):
         if t:
             boxes = np.concatenate([boxes, np.array(
                 [[q[:, 0].min(), q[:, 1].min(), q[:, 0].max(), q[:, 1].max()]]
@@ -242,9 +265,11 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
 
     # layout-bbox fallback OCR (structure.rs:1337-1395): non-image
     # blocks with no matched text get a whole-block recognition attempt
-    for j in fallback_ocr_blocks(lb, labels, boxes):
-        bx0, by0 = max(int(lb[j, 0]), 0), max(int(lb[j, 1]), 0)
-        t = reader.read(img[by0:int(lb[j, 3]), bx0:int(lb[j, 2])])
+    fb = list(fallback_ocr_blocks(lb, labels, boxes))
+    fb_texts = reader.read_many(
+        [img[max(int(lb[j, 1]), 0):int(lb[j, 3]),
+             max(int(lb[j, 0]), 0):int(lb[j, 2])] for j in fb])
+    for j, t in zip(fb, fb_texts):
         if t:
             boxes = np.concatenate([boxes, lb[j:j + 1]])
             texts.append(t)
@@ -270,14 +295,18 @@ def predict_structure_page(img: np.ndarray, min_line_area: int = 9,
     if len(cells) and len(boxes):
         nb, src, was_split = split_ocr_by_table_cells(boxes, cells)
         if was_split.any():
+            # per-cell segment re-recognition, batched as one group
+            split_texts = iter(reader.read_many(
+                [img[max(int(np.floor(b[1])), 0):int(np.ceil(b[3])),
+                     max(int(np.floor(b[0])), 0):int(np.ceil(b[2]))]
+                 for b, ws in zip(nb, was_split) if ws]))
             new_boxes, new_texts = [], []
             for b, s, ws in zip(nb, src, was_split):
                 if not ws:
                     new_boxes.append(b)
                     new_texts.append(texts[int(s)])
                     continue
-                sx0, sy0 = max(int(np.floor(b[0])), 0), max(int(np.floor(b[1])), 0)
-                t = reader.read(img[sy0:int(np.ceil(b[3])), sx0:int(np.ceil(b[2]))])
+                t = next(split_texts)
                 if t:
                     new_boxes.append(b)
                     new_texts.append(t)
