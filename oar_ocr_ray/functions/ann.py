@@ -258,7 +258,11 @@ def pq_parity_fit(nv_sample: np.ndarray, m_sub: int = 4, k_codes: int = 8,
     update = member mean rounded to 6 (NOT re-normalized — subvectors are
     not unit); empty codes keep their word."""
     d = nv_sample.shape[1]
-    assert d % m_sub == 0, (d, m_sub)
+    if d % m_sub != 0:
+        raise ValueError(
+            f"pq_parity_fit: dim {d} not divisible by m_sub={m_sub}; a "
+            f"silent truncation would drop trailing dimensions from every "
+            f"codebook and encode.")
     if len(nv_sample) < k_codes:
         raise ValueError(
             f"pq_parity_fit: sample has {len(nv_sample)} vectors < k_codes="

@@ -230,9 +230,52 @@ def connected_component_boxes(
     components with pixel area < min_area dropped, capped at max_candidates
     (largest first), in arbitrary order.
     """
+    runs = _cc_runs(mask)
+    if runs is None:
+        return np.zeros((0, 4), dtype=np.int64)
+    rows, rs, re, inv, k, h, w = runs
+    boxes, _area, keep_order = _cc_boxes(rows, rs, re, inv, k, h, w,
+                                         min_area, max_candidates)
+    return boxes
+
+
+def connected_component_label_image(
+    mask: np.ndarray, min_area: int = 9, max_candidates: int = 1000
+) -> tuple[np.ndarray, np.ndarray]:
+    """connected_component_boxes plus a per-pixel label image: returns
+    (boxes, labels) where labels[y, x] is the row index into `boxes` of
+    the component owning that pixel, -1 elsewhere (including components
+    dropped by min_area / max_candidates). Lets a caller that slices a
+    component's AABB mask out pixels of OTHER components whose AABBs
+    overlap it (jagged/skewed shapes)."""
+    m = np.asarray(mask, dtype=bool)
+    runs = _cc_runs(m)
+    if runs is None:
+        return np.zeros((0, 4), dtype=np.int64), np.full(m.shape, -1, np.int64)
+    rows, rs, re, inv, k, h, w = runs
+    boxes, _area, keep_order = _cc_boxes(rows, rs, re, inv, k, h, w,
+                                         min_area, max_candidates)
+    # component id -> kept boxes-row index (-1 for dropped components)
+    remap = np.full(k, -1, dtype=np.int64)
+    remap[keep_order] = np.arange(len(keep_order))
+    lbl = np.full(h * w, -1, dtype=np.int64)
+    lens = re - rs
+    flat_starts = rows * w + rs
+    # paint runs vectorized: ragged [start, start+len) expansion
+    tot = int(lens.sum())
+    idx = np.repeat(flat_starts, lens) + (
+        np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens))
+    lbl[idx] = np.repeat(remap[inv], lens)
+    return boxes, lbl.reshape(h, w)
+
+
+def _cc_runs(mask: np.ndarray):
+    """Run decomposition + component labeling shared by the public CC
+    functions: returns (rows, rs, re, inv, k, h, w) with per-run component
+    ids inv in 0..k-1, or None for an empty mask."""
     m = np.asarray(mask, dtype=bool)
     if m.size == 0 or not m.any():
-        return np.zeros((0, 4), dtype=np.int64)
+        return None
 
     h, w = m.shape
     padded = np.zeros((h, w + 1), dtype=bool)
@@ -285,7 +328,14 @@ def connected_component_boxes(
             break
 
     uniq, inv = np.unique(label, return_inverse=True)
-    k = len(uniq)
+    return rows, rs, re, inv, len(uniq), h, w
+
+
+def _cc_boxes(rows, rs, re, inv, k, h, w, min_area, max_candidates):
+    """Per-component AABBs from the run decomposition; returns
+    (boxes, areas, keep_order) where keep_order maps boxes rows back to
+    component ids in 0..k-1 (min_area filter + max_candidates cap
+    applied, largest first past the cap)."""
     x0 = np.full(k, w, dtype=np.int64)
     x1 = np.zeros(k, dtype=np.int64)
     y0 = np.full(k, h, dtype=np.int64)
@@ -297,13 +347,15 @@ def connected_component_boxes(
     np.maximum.at(y1, inv, rows + 1)
     np.add.at(area, inv, re - rs)
 
-    keep = area >= min_area
-    boxes = np.stack([x0, y0, x1, y1], axis=1)[keep]
-    area = area[keep]
+    keep_order = np.flatnonzero(area >= min_area)
+    boxes = np.stack([x0, y0, x1, y1], axis=1)[keep_order]
+    area = area[keep_order]
     if len(boxes) > max_candidates:
         order = np.argsort(-area)[:max_candidates]
         boxes = boxes[order]
-    return boxes
+        area = area[order]
+        keep_order = keep_order[order]
+    return boxes, area, keep_order
 
 
 # ---------------------------------------------------------------------------

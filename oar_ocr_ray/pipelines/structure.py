@@ -122,6 +122,7 @@ def run_structure_extract(
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
 
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         n_pages = 0
@@ -132,7 +133,7 @@ def run_structure_extract(
             path = os.path.join(final, f)
             n_pages += pq.read_metadata(path).num_rows
             col = pq.read_table(path, columns=["n_elements"])["n_elements"]
-            n_elements += int(sum(col.to_pylist()))
+            n_elements += int(pc.sum(col).as_py() or 0)
         manifest.commit(sid, {
             "buckets": buckets,
             "output": final,

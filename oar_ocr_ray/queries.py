@@ -71,6 +71,17 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _n_parts() -> int:
+    """Coarse-exchange partition count, scaled to the cluster: 2 tasks
+    per CPU (straggler headroom), floor 64 so small test clusters still
+    exercise multi-partition merges. Results never depend on this —
+    every user of a hash(key) % P partition merges within disjoint key
+    sets — so the knob is pure parallelism."""
+    import ray
+
+    return max(64, int(ray.cluster_resources().get("CPU", 32)) * 2)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
@@ -577,6 +588,7 @@ def events_window_distinct_users(sf_dir: str):
     hold disjoint (window, user) sets, so partial counts sum exactly ->
     tiny driver reduce over |event_types| x |windows| rows."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+    np_parts = _n_parts()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         d = pd.DataFrame({
@@ -584,9 +596,11 @@ def events_window_distinct_users(sf_dir: str):
             "window_start": df["ts"].dt.floor("h"),
             "user_id": df["user_id"].to_numpy(),
         }).drop_duplicates()
-        wid = d["window_start"].astype("int64").to_numpy() // 3_600_000_000
+        # wid only needs to be deterministic per window — window_start is
+        # already hour-floored, so the raw ns int64 is a stable window id
+        wid = d["window_start"].astype("int64").to_numpy()
         d["vp"] = ((d["user_id"].to_numpy().astype(np.int64) * np.int64(1_000_003)
-                    + wid) % 64).astype(np.int32)
+                    + wid) % np_parts).astype(np.int32)
         return d
 
     def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
@@ -616,9 +630,11 @@ def events_sessionize(sf_dir: str):
     map_groups alternative is one Python invocation per user_id)."""
     from .functions.windows import sessionize_partition
 
+    np_parts = _n_parts()
+
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["part"] = (df["user_id"].to_numpy() % 64).astype(np.int32)
+        df["part"] = (df["user_id"].to_numpy() % np_parts).astype(np.int32)
         # value in exact int cents so session sums are order-independent
         df["value"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
         return df
@@ -1390,13 +1406,14 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.8,
     count is checked first and past `max_candidates` the query refuses
     LOUDLY, naming the levers (cluster-capping via minhash_dup_clusters'
     representative semantics, a higher threshold/band config, or a raised
-    gate). Verified by the dup-heavy stress test in test_dedup.py.
+    gate). Verified by the dup-heavy stress test in
+    tests/test_curation_edge.py.
     """
     import ray
 
     from .functions.dedup import MinHasher, jaccard, shingle_set
 
-    n_parts = max(64, int(ray.cluster_resources().get("CPU", 32)) * 2)
+    n_parts = _n_parts()
     empty_cand = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                "doc_b": pd.Series(dtype="int64")})
 
@@ -1545,9 +1562,7 @@ def ngram_jaccard_dup_pairs(sf_dir: str, threshold: float = 0.8,
         # balances skew against per-partition fixed cost (measured at
         # sf0.1/32cpu: 64 parts 3.7 s vs 256 parts 4.4 s); results are
         # partition-count-invariant.
-        import ray
-
-        n_shingle_parts = max(64, int(ray.cluster_resources().get("CPU", 32)) * 2)
+        n_shingle_parts = _n_parts()
 
     def explode_shingles(df: pd.DataFrame) -> pd.DataFrame:
         norm = df["text"].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
@@ -1639,11 +1654,9 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     never one call per distinct quadrant value (same candidate-generation
     shape as minhash_dup_pairs / ngram_jaccard_dup_pairs); signatures ride
     along as int64."""
-    import ray
-
     from .functions.dedup import simhash_batch
 
-    n_parts = max(64, int(ray.cluster_resources().get("CPU", 32)) * 2)
+    n_parts = _n_parts()
 
     def explode_quads(df: pd.DataFrame) -> pd.DataFrame:
         sh = simhash_batch(df)
@@ -3941,12 +3954,16 @@ def _vocab_combine(partials, key: str, val: str = "n", n_parts: int = 64):
     def add_vp(df: pd.DataFrame) -> pd.DataFrame:
         # md5 (version-independent): pd.util.hash_array over object keys is
         # only stable within one pandas version, so a mixed-version cluster
-        # would split a key across partitions and emit duplicate partials
+        # would split a key across partitions and emit duplicate partials.
+        # Factorize first — partial batches repeat keys, so the per-row
+        # Python md5 runs only over the batch's DISTINCT keys and the
+        # codes map the partition ids back vectorized.
         from .functions.dedup import md5_lower64_batch
 
         df = df.copy()
-        df["vp"] = (md5_lower64_batch(str(x) for x in df[key])
-                    % np.uint64(n_parts)).astype(np.int64)
+        codes, uniq = pd.factorize(df[key].astype(str))
+        hv = (md5_lower64_batch(uniq) % np.uint64(n_parts)).astype(np.int64)
+        df["vp"] = hv[codes]
         return df
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:

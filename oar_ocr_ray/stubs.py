@@ -369,7 +369,7 @@ class StubDbSession:
         return best
 
     def __call__(self, tensor: np.ndarray) -> np.ndarray:
-        from .geometry import connected_component_boxes
+        from .geometry import connected_component_label_image
 
         b, _, th, tw = tensor.shape
         out = np.zeros((b, 1, th, tw), dtype=np.float32)
@@ -379,10 +379,13 @@ class StubDbSession:
                 np.rint((ch * self.std + self.mean) / self.scale), 0, 255
             ).astype(np.uint8)
             mask = u8 < 128
-            comps = connected_component_boxes(mask, min_area=1,
-                                              max_candidates=2**62)
-            for x0, y0, x1, y1 in comps:
-                k = self._kernel(mask[y0:y1, x0:x1])
+            # label-filtered slices: two components whose AABBs overlap
+            # (jagged skewed shapes) must each erode ONLY their own
+            # pixels, never a union mask that merges/duplicates kernels
+            comps, lbl = connected_component_label_image(
+                mask, min_area=1, max_candidates=2**62)
+            for ci, (x0, y0, x1, y1) in enumerate(comps):
+                k = self._kernel(lbl[y0:y1, x0:x1] == ci)
                 if k is not None:
                     out[i, 0, y0:y1, x0:x1][k] = self.kernel_prob
         return out

@@ -177,3 +177,69 @@ def test_order_quad_points_diamond_fallback():
     # exact layout: TL/BL from two leftmost by y, TR/BR from two rightmost
     tl, tr, br, bl = ordered
     assert tl[0] <= br[0] or tl[1] <= br[1]
+
+
+def test_connected_component_label_image_partitions_pixels():
+    from oar_ocr_ray.geometry import connected_component_label_image
+
+    mask = np.zeros((16, 16), dtype=bool)
+    # an L-shape and a bar living INSIDE the L's AABB, pixels disjoint
+    mask[2:14, 2:4] = True    # L vertical
+    mask[12:14, 2:12] = True  # L horizontal
+    mask[2:10, 10:12] = True  # bar inside the L's AABB
+    boxes, lbl = connected_component_label_image(mask, min_area=1)
+    assert lbl.shape == mask.shape
+    # every masked pixel is owned by exactly one component, none outside
+    assert ((lbl >= 0) == mask).all()
+    for ci, (x0, y0, x1, y1) in enumerate(boxes):
+        ys, xs = np.nonzero(lbl == ci)
+        assert (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1) == (x0, y0, x1, y1)
+    # the two staircases cross AABBs but keep distinct labels
+    assert len(boxes) == 2
+    b = boxes[np.argsort(boxes[:, 0])]
+    assert b[0][2] > b[1][0]  # AABBs overlap in x
+
+
+def test_connected_component_label_image_respects_filters():
+    from oar_ocr_ray.geometry import (
+        connected_component_boxes,
+        connected_component_label_image,
+    )
+
+    mask = np.zeros((12, 20), dtype=bool)
+    mask[1, 1] = True           # speck: dropped by min_area
+    mask[3:6, 3:8] = True       # area 15
+    mask[8:11, 10:18] = True    # area 24
+    boxes, lbl = connected_component_label_image(mask, min_area=9,
+                                                 max_candidates=1)
+    ref = connected_component_boxes(mask, min_area=9, max_candidates=1)
+    np.testing.assert_array_equal(boxes, ref)
+    assert len(boxes) == 1  # largest-first cap
+    # dropped components paint -1
+    assert lbl[1, 1] == -1 and lbl[4, 4] == -1
+    assert (lbl[8:11, 10:18] == 0).all()
+
+
+def test_stub_db_session_separates_overlapping_aabbs():
+    """Two dark components with overlapping AABBs must each emit their
+    OWN kernel from their own pixels — the AABB-slice union bug would
+    erode a mask containing the other's pixels and merge/duplicate
+    kernels."""
+    from oar_ocr_ray.geometry import connected_component_boxes
+    from oar_ocr_ray.preprocess import normalize_image, to_batch
+    from oar_ocr_ray.stubs import StubDbSession
+
+    img = np.full((40, 40), 255, np.uint8)
+    img[4:34, 4:10] = 0    # L vertical
+    img[28:34, 4:34] = 0   # L horizontal
+    img[4:22, 24:30] = 0   # bar inside the L's AABB
+    n_in = len(connected_component_boxes(img < 128, min_area=1))
+    assert n_in == 2  # the two staircases don't touch
+
+    prob = StubDbSession()(to_batch([normalize_image(img)]))[0, 0][:40, :40]
+    kernels = prob > 0.5
+    assert kernels.any()
+    # each kernel lives inside its own component's pixels only
+    assert not kernels[~(img < 128)].any()
+    n_k = len(connected_component_boxes(kernels, min_area=1))
+    assert n_k == 2, f"expected one kernel per component, got {n_k}"
