@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "events_window_distinct_users",
     "ccnet_perplexity_buckets",
     "ann_pq_topk",
+    # round-5: the production stage shape (det + rec session seams ON)
+    "extract_flagship_seams",
 ]
 
 
@@ -122,18 +124,25 @@ def structure_corpus_dir() -> dict:
     return meta
 
 
-def run_structure(meta: dict, repeats: int = 3) -> tuple[float, int]:
+def run_structure(meta: dict, repeats: int = 3,
+                  seams: bool = False) -> tuple[float, int]:
     """Best-of-N wall time for the full PP-StructureV3 page pipeline over
     the scaling corpus — the per-page actor stage has NO shuffle, so it
     should scale embarrassingly with CPUs (the --scaling structure leg).
     The DAG (bucket-local blocks over the bucket-sorted refs manifest)
-    comes from the one shared builder in pipelines/structure.py."""
+    comes from the one shared builder in pipelines/structure.py.
+    seams=True turns ALL EIGHT session boundaries on (layout + text-det +
+    rec + orientation/table-cls/cells/regions + formula) — the production
+    configuration's stage shape with the deterministic stand-in sessions."""
     from oar_ocr_ray.pipelines.structure import build_structure_pipeline
 
     def build():
+        kw = dict(det_model_input=True, layout_model_input=True,
+                  rec_model_input=True, aux_model_input=True,
+                  formula_model_input=True) if seams else {}
         return build_structure_pipeline(
             meta["refs_path"], meta["media_dir"],
-            n_buckets=int(meta.get("n_buckets", 32)),
+            n_buckets=int(meta.get("n_buckets", 32)), **kw,
         )
 
     build().count()  # warm-up: workers + media store
@@ -158,17 +167,22 @@ def tune_data_context() -> None:
     ctx.op_resource_reservation_ratio = 0.0
 
 
-def run_flagship(meta: dict, num_cpus: int, repeats: int = 5) -> tuple[float, int]:
+def run_flagship(meta: dict, num_cpus: int, repeats: int = 5,
+                 seams: bool = False) -> tuple[float, int]:
     """Best-of-N steady-state wall time (one warm-up run first). Noise on
     this box is strictly additive (scheduler ramp, residual warming), so the
     minimum is the steady-state capability measurement; the full
-    distribution trends down over repeats (see BASELINE.md)."""
+    distribution trends down over repeats (see BASELINE.md).
+    seams=True runs the production stage shape — DB det heatmap + real
+    DBPostProcess and the (B,3,48,W) rec tensor chain + real CTC decode
+    through the stand-in sessions — instead of the pixel stand-ins."""
     from oar_ocr_ray.pipelines.extract import build_extract_pipeline
 
     def build(files):
         return build_extract_pipeline(
             meta["doc_files"] if files is None else files, meta["media_dir"],
             n_parts=max(64, num_cpus * 4),
+            det_model_input=seams, rec_model_input=seams,
         )
 
     # warm-up: spin worker processes + module imports + media object-store
@@ -212,12 +226,18 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
     headline = None
+    seams_headline = None
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         if name == "extract_flagship":
             dt, n = run_flagship(meta, NUM_CPUS)
             qtimes[name] = round(dt, 3)
             headline = dt
+            continue
+        if name == "extract_flagship_seams":
+            dt, n = run_flagship(meta, NUM_CPUS, repeats=2, seams=True)
+            qtimes[name] = round(dt, 3)
+            seams_headline = dt
             continue
         res = QUERIES[name](SF_DIR)
         import ray.data as rd
@@ -235,6 +255,8 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "bench_docs": meta["n_docs"],
         "docs_per_sec": round(meta["n_docs"] / headline, 2),
+        "flagship_seams_sec": round(seams_headline, 3),
+        "seams_docs_per_sec": round(meta["n_docs"] / seams_headline, 2),
     }
     ray.shutdown()
     print(json.dumps(out))
@@ -285,9 +307,17 @@ def scaling() -> None:
     s_lo = run(8, "BENCH_ONLY_STRUCTURE")
     time.sleep(30)
     s_hi = run(32, "BENCH_ONLY_STRUCTURE")
+    time.sleep(30)
+    # the production stage shape: det + rec session seams ON (the seams
+    # are the configuration a real deployment runs, so the criterion
+    # evidence covers them, not just the pixel stand-ins)
+    m_lo = run(8, "BENCH_ONLY_FLAGSHIP_SEAMS")
+    time.sleep(30)
+    m_hi = run(32, "BENCH_ONLY_FLAGSHIP_SEAMS")
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8)
     s_eff = (s_lo["value"] / s_hi["value"]) / (32 / 8)
+    m_eff = (m_lo["value"] / m_hi["value"]) / (32 / 8)
     hw = cpu_capacity_scale(8, 32)
     print(
         json.dumps(
@@ -309,6 +339,13 @@ def scaling() -> None:
                 "structure_efficiency_vs_hardware": round(
                     (s_lo["value"] / s_hi["value"]) / hw, 3),
                 "bench_struct_pages": s_lo.get("bench_struct_pages"),
+                "seams_sec_8": m_lo["value"],
+                "seams_sec_32": m_hi["value"],
+                "seams_docs_per_sec_8": m_lo["docs_per_sec"],
+                "seams_docs_per_sec_32": m_hi["docs_per_sec"],
+                "seams_scaling_efficiency": round(m_eff, 3),
+                "seams_efficiency_vs_hardware": round(
+                    (m_lo["value"] / m_hi["value"]) / hw, 3),
             }
         )
     )
@@ -317,17 +354,21 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
-    elif os.environ.get("BENCH_ONLY_FLAGSHIP"):
+    elif (os.environ.get("BENCH_ONLY_FLAGSHIP")
+          or os.environ.get("BENCH_ONLY_FLAGSHIP_SEAMS")):
         import ray
 
+        seams = bool(os.environ.get("BENCH_ONLY_FLAGSHIP_SEAMS"))
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
         tune_data_context()
         meta = corpus_dir()
-        dt, n = run_flagship(meta, NUM_CPUS)
+        dt, n = run_flagship(meta, NUM_CPUS, repeats=2 if seams else 5,
+                             seams=seams)
         ray.shutdown()
         print(json.dumps({
-            "metric": "flagship_extract_sec", "value": round(dt, 3), "unit": "sec",
+            "metric": ("flagship_seams_sec" if seams else "flagship_extract_sec"),
+            "value": round(dt, 3), "unit": "sec",
             "queries": {}, "sf": SF_DIR, "num_cpus": NUM_CPUS,
             "bench_docs": n, "docs_per_sec": round(n / dt, 2),
         }))
@@ -338,10 +379,14 @@ if __name__ == "__main__":
                  ignore_reinit_error=True, logging_level="ERROR")
         tune_data_context()
         meta = structure_corpus_dir()
-        dt, n = run_structure(meta)
+        st_seams = bool(os.environ.get("BENCH_STRUCT_SEAMS"))
+        dt, n = run_structure(meta, repeats=2 if st_seams else 3,
+                              seams=st_seams)
         ray.shutdown()
         print(json.dumps({
-            "metric": "structure_extract_sec", "value": round(dt, 3), "unit": "sec",
+            "metric": ("structure_seams_sec" if st_seams
+                       else "structure_extract_sec"),
+            "value": round(dt, 3), "unit": "sec",
             "num_cpus": NUM_CPUS, "bench_struct_pages": n,
             "pages_per_sec": round(n / dt, 2),
         }))

@@ -29,6 +29,10 @@ def build_structure_pipeline(
     n_blocks: int | None = None,
     min_line_area: int = 9,
     rec_model_input: bool = False,
+    det_model_input: bool = False,
+    layout_model_input: bool = False,
+    aux_model_input: bool = False,
+    formula_model_input: bool = False,
 ) -> "ray.data.Dataset":
     """Lazy per-page structure DAG: refs (optionally filtered to a bucket
     group) -> actor-pool StructureExtract. Blocks default to the bucket
@@ -68,7 +72,11 @@ def build_structure_pipeline(
     return ds.map_batches(
         cached_stage(StructureExtract, media_dir=media_dir,
                      min_line_area=min_line_area,
-                     rec_model_input=rec_model_input),
+                     rec_model_input=rec_model_input,
+                     det_model_input=det_model_input,
+                     layout_model_input=layout_model_input,
+                     aux_model_input=aux_model_input,
+                     formula_model_input=formula_model_input),
         batch_format="pyarrow", batch_size=None,
     )
 
