@@ -47,6 +47,7 @@ def build_extract_pipeline(
     rec_model_input: bool = False,
     det_model_input: bool = False,
     rectify: bool = False,
+    lance_reader=None,
 ) -> "ray.data.Dataset":
     """Build the lazy Dataset DAG (nothing executes until consumed).
 
@@ -56,11 +57,16 @@ def build_extract_pipeline(
     stage_mode="actors": dedicated actor pools with reserved CPUs — right
     when state is heavyweight (real ONNX sessions); concurrency knobs apply.
     """
+    from ..sources import read_documents
     from ..stages.media import SharedMediaStore, cached_stage
 
     media_refs = _media_refs_for(media_dir)
-    ds = ray.data.read_parquet(
-        doc_files, columns=["doc_id", "spans"], override_num_blocks=max(64, n_parts * 2)
+    # the Lance substitution seam: parquet in this env, read_lance (or an
+    # injected read_lance-shaped reader) for .lance sources — column
+    # pruning and block sizing pass through either way
+    ds = read_documents(
+        doc_files, columns=["doc_id", "spans"],
+        override_num_blocks=max(64, n_parts * 2), lance_reader=lance_reader,
     )
     ds = ds.map_batches(make_explode_spans(n_parts), batch_format="pyarrow")
     ds = ds.map_batches(strip_text_spans, batch_format="pyarrow")
