@@ -330,9 +330,11 @@ class DbDetector:
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         from ..geometry import db_boxes_from_bitmap
-        from ..preprocess import normalize_image, to_batch
+        from ..preprocess import gray_batch_tensor, normalize_image, to_batch
 
-        prob = self.session(to_batch([normalize_image(img)]))[0, 0]
+        tensor = (gray_batch_tensor(img[None]) if img.ndim == 2
+                  else to_batch([normalize_image(img)]))
+        prob = self.session(tensor)[0, 0]
         boxes, _scores = db_boxes_from_bitmap(
             prob[: img.shape[0], : img.shape[1]],
             thresh=self.thresh, box_thresh=self.box_thresh,
@@ -366,9 +368,11 @@ class LayoutDetector:
 
     def __call__(self, img: np.ndarray):
         from ..fixtures import LAYOUT_CODES
-        from ..preprocess import normalize_image, to_batch
+        from ..preprocess import gray_batch_tensor, normalize_image, to_batch
 
-        dets = self.session(to_batch([normalize_image(img)]))[0]
+        dets = self.session(
+            gray_batch_tensor(img[None]) if img.ndim == 2
+            else to_batch([normalize_image(img)]))[0]
         boxes, labels, scores = [], [], []
         for code, score, x0, y0, x1, y1 in dets:
             label = LAYOUT_CODES.get(int(code))
@@ -398,9 +402,11 @@ class OrientationClassifier:
         self.session = session
 
     def __call__(self, img: np.ndarray) -> int:
-        from ..preprocess import normalize_image, to_batch
+        from ..preprocess import gray_batch_tensor, normalize_image, to_batch
 
-        probs = self.session(to_batch([normalize_image(img)]))[0]
+        probs = self.session(
+            gray_batch_tensor(img[None]) if img.ndim == 2
+            else to_batch([normalize_image(img)]))[0]
         return int(np.argmax(probs))
 
 
@@ -417,13 +423,15 @@ class TableClassifier:
         self.session = session
 
     def __call__(self, img: np.ndarray, box) -> str:
-        from ..preprocess import normalize_image, to_batch
+        from ..preprocess import gray_batch_tensor, normalize_image, to_batch
 
         x0, y0 = max(int(box[0]), 0), max(int(box[1]), 0)
         crop = img[y0:int(box[3]), x0:int(box[2])]
         if crop.size == 0:
             return "wireless"
-        probs = self.session(to_batch([normalize_image(crop)]))[0]
+        probs = self.session(
+            gray_batch_tensor(crop[None]) if crop.ndim == 2
+            else to_batch([normalize_image(crop)]))[0]
         return "wired" if int(np.argmax(probs)) == 0 else "wireless"
 
 
@@ -442,13 +450,15 @@ class CellDetector:
         self.score_thresh = score_thresh
 
     def __call__(self, img: np.ndarray, box) -> np.ndarray:
-        from ..preprocess import normalize_image, to_batch
+        from ..preprocess import gray_batch_tensor, normalize_image, to_batch
 
         x0, y0 = max(int(box[0]), 0), max(int(box[1]), 0)
         crop = img[y0:int(box[3]), x0:int(box[2])]
         if crop.size == 0:
             return np.zeros((0, 4))
-        dets = self.session(to_batch([normalize_image(crop)]))[0]
+        dets = self.session(
+            gray_batch_tensor(crop[None]) if crop.ndim == 2
+            else to_batch([normalize_image(crop)]))[0]
         keep = dets[:, 1] >= self.score_thresh if len(dets) else np.zeros(0, bool)
         cells = dets[keep, 2:].astype(np.float64)
         if len(cells):
@@ -471,9 +481,11 @@ class RegionDetector:
         self.score_thresh = score_thresh
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
-        from ..preprocess import normalize_image, to_batch
+        from ..preprocess import gray_batch_tensor, normalize_image, to_batch
 
-        dets = self.session(to_batch([normalize_image(img)]))[0]
+        dets = self.session(
+            gray_batch_tensor(img[None]) if img.ndim == 2
+            else to_batch([normalize_image(img)]))[0]
         if not len(dets):
             return np.zeros((0, 4))
         return dets[dets[:, 1] >= self.score_thresh, 2:].astype(np.float64)
@@ -497,14 +509,17 @@ class FormulaRecognizer:
         self.session = session
 
     def __call__(self, img: np.ndarray, box) -> str:
-        from ..preprocess import crop_margin, normalize_image, to_batch
+        from ..preprocess import crop_margin, gray_batch_tensor, \
+            normalize_image, to_batch
 
         x0, y0 = max(int(box[0]), 0), max(int(box[1]), 0)
         crop = img[y0:int(box[3]), x0:int(box[2])]
         if crop.size == 0:
             return ""
         crop = crop_margin(crop)
-        return str(self.session(to_batch([normalize_image(crop)]))[0])
+        return str(self.session(
+            gray_batch_tensor(crop[None]) if crop.ndim == 2
+            else to_batch([normalize_image(crop)]))[0])
 
 
 class MediaDetect:
@@ -929,14 +944,23 @@ class Recognize:
         """Preprocess chain + one session call over a list of crops;
         returns per-item (T_i, C) logits (uniform (B, T, C) ndarrays from
         real sessions are split into rows)."""
-        from ..preprocess import normalize_image, ocr_resize_and_pad, to_batch
+        from ..preprocess import gray_batch_tensor, normalize_image, \
+            ocr_resize_and_pad, to_batch
 
         imgs = []
+        all_gray = True
         for a in arrs:
             padded, _ = ocr_resize_and_pad(
                 a, target_h=self.rec_target_h, max_wh_ratio=max_wh)
-            imgs.append(normalize_image(padded))
-        logits = self.rec_session(to_batch(imgs))
+            all_gray &= padded.ndim == 2
+            imgs.append(padded)
+        if all_gray:
+            # crops in a sub-batch share (target_h, tensor width): the
+            # fused grayscale tensor build (bit-identical, one allocation)
+            tensor = gray_batch_tensor(np.stack(imgs))
+        else:  # RGB callers: the general per-image chain
+            tensor = to_batch([normalize_image(p) for p in imgs])
+        logits = self.rec_session(tensor)
         if isinstance(logits, np.ndarray):
             logits = [logits[i] for i in range(logits.shape[0])]
         return logits
