@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "events_window_distinct_users",
     "ccnet_perplexity_buckets",
     "ann_pq_topk",
+    # round-5 additions
+    "unimax_allocation",
     # round-5: the production stage shape (det + rec session seams ON)
     "extract_flagship_seams",
 ]

@@ -2987,6 +2987,105 @@ WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000 < thr.thr
 """
 
 
+def unimax_allocation(sf_dir: str, max_epochs: int = 2):
+    """UniMax sampling budgets (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", public): split a total token budget across sources as
+    UNIFORMLY as possible, capping every source at `max_epochs`
+    repetitions of its own corpus; budget freed by capped (small) sources
+    redistributes to the rest. The closed-form waterfilling over
+    cap-sorted sources replaces the paper's iterative loop (identical
+    result): walk caps ascending, a source is fully capped while the
+    even split of the remaining budget still exceeds its cap; the first
+    source whose cap covers the even split fixes the waterline for
+    everyone after it. Budget = total_tokens // 2 (the same integer
+    half-corpus convention as source_temperature_sample); the oracle pins
+    max_epochs=2.
+
+    Scale shape: per-batch partial token sums per source -> tiny
+    bounded-cardinality reduce (|sources| rows on the driver) ->
+    O(n log n) closed-form waterline; the emitted per-source rates are
+    the broadcast side of the actual sampling pass (exactly
+    source_temperature_sample's filter shape). Float parity: every
+    accumulation is integer; the waterline and rates are SINGLE double
+    divisions of exact int64s, so numpy and DuckDB produce bit-identical
+    doubles.
+    """
+    from .functions.text_analysis import token_count
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tk = token_count(df)
+        g = tk.groupby("source", as_index=False)["n_tokens"].sum()
+        return g.rename(columns={"n_tokens": "n"})
+
+    counts = _reduce_small(ds.map_batches(partial, batch_format="pandas"),
+                           ["source"], ["n"])
+    counts["source"] = counts["source"].astype(str)
+    counts["n"] = counts["n"].astype("int64")
+    counts["cap"] = counts["n"] * np.int64(max_epochs)
+    counts = counts.sort_values(["cap", "source"]).reset_index(drop=True)
+    budget = int(counts["n"].sum()) // 2
+    caps = counts["cap"].to_numpy()
+    nsrc = len(counts)
+    alloc = np.empty(nsrc, dtype=np.float64)
+    remaining = budget
+    for j in range(nsrc):
+        w = np.float64(remaining) / np.float64(nsrc - j)
+        if w <= caps[j]:
+            alloc[j:] = w  # waterline: everyone from here splits evenly
+            break
+        alloc[j] = np.float64(caps[j])  # capped: cap < even split
+        remaining -= int(caps[j])
+    out = pd.DataFrame({
+        "source": counts["source"],
+        "n_tokens_total": counts["n"],
+        "token_cap": counts["cap"],
+        "allocation": alloc,
+        "sample_rate": alloc / counts["n"].to_numpy().astype(np.float64),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+UNIMAX_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+  FROM documents
+), caps AS (
+  -- sums CAST to BIGINT: DuckDB sum() is HUGEINT, which pandas renders
+  -- as float and the value-hash would see 1435.0 vs the Ray side's 1435
+  SELECT CAST(source AS VARCHAR) AS source,
+         CAST(sum(nt) AS BIGINT) AS n,
+         2 * CAST(sum(nt) AS BIGINT) AS cap
+  FROM tok GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) // 2 AS budget, count(*) AS nsrc FROM caps
+), cand AS (
+  SELECT c.source, c.n, c.cap,
+         row_number() OVER (ORDER BY c.cap, c.source) AS rn,
+         CAST(t.budget - (sum(c.cap) OVER (ORDER BY c.cap, c.source
+                                           ROWS UNBOUNDED PRECEDING) - c.cap)
+              AS DOUBLE)
+           / (t.nsrc - row_number() OVER (ORDER BY c.cap, c.source) + 1) AS w
+  FROM caps c CROSS JOIN tot t
+), wl AS (
+  SELECT min(rn) AS jstar FROM cand WHERE w <= cap
+), wval AS (
+  SELECT w AS waterline FROM cand WHERE rn = (SELECT jstar FROM wl)
+)
+SELECT source, n AS n_tokens_total, cap AS token_cap,
+       CASE WHEN rn < jstar THEN CAST(cap AS DOUBLE) ELSE waterline END
+         AS allocation,
+       CASE WHEN rn < jstar THEN CAST(cap AS DOUBLE) / n
+            ELSE waterline / n END AS sample_rate
+FROM cand CROSS JOIN wl CROSS JOIN wval
+ORDER BY source
+"""
+
+
 def semdedup_prune(sf_dir: str, thr: float = 0.45, n_clusters: int = 8,
                    iters: int = 2):
     """Full SemDeDup semantic dedup (Abbas et al. 2023, public): cluster the
@@ -4441,6 +4540,7 @@ QUERIES = {
     "decontaminate": decontaminate,
     "dup_ngram_spans": dup_ngram_spans,
     "source_temperature_sample": source_temperature_sample,
+    "unimax_allocation": unimax_allocation,
     "semdedup_prune": semdedup_prune,
     "unigram_logprob_scores": unigram_logprob_scores,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
@@ -4526,6 +4626,7 @@ ORACLE_SQL = {
     "decontaminate": DECONTAM_SQL,
     "dup_ngram_spans": DUP_NGRAM_SPANS_SQL,
     "source_temperature_sample": SOURCE_TEMP_SAMPLE_SQL,
+    "unimax_allocation": UNIMAX_SQL,
     "semdedup_prune": EMB_SEMDEDUP_SQL,
     "unigram_logprob_scores": UNIGRAM_LOGPROB_SQL,
     "ccnet_perplexity_buckets": CCNET_BUCKETS_SQL,

@@ -108,3 +108,28 @@ def test_rows_only_queries_run(ray_session, name):
 
     df = to_pandas(QUERIES[name](SF_DIR))
     assert df is not None and len(df.columns) > 0
+
+
+def test_unimax_allocation_waterfill_invariants(ray_session):
+    """UniMax budgets: allocations sum to the integer half-corpus budget,
+    no source exceeds its epoch cap, every uncapped source sits exactly on
+    the shared waterline, and rates are allocation/n."""
+    import numpy as np
+
+    from oar_ocr_ray.queries import unimax_allocation
+
+    out = unimax_allocation("/root/testdata/sf0.001")
+    n = out["n_tokens_total"].to_numpy()
+    cap = out["token_cap"].to_numpy()
+    alloc = out["allocation"].to_numpy()
+    assert (cap == 2 * n).all()
+    assert (alloc <= cap + 1e-9).all()
+    budget = int(n.sum()) // 2
+    assert abs(alloc.sum() - budget) < 1e-6 * max(budget, 1)
+    uncapped = alloc < cap - 1e-9
+    if uncapped.any():
+        w = alloc[uncapped]
+        assert np.allclose(w, w[0])  # one waterline
+        # capped sources' caps are all below the waterline
+        assert (cap[~uncapped] <= w[0] + 1e-9).all()
+    np.testing.assert_allclose(out["sample_rate"].to_numpy(), alloc / n)
