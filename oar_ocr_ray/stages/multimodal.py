@@ -32,13 +32,11 @@ def _decode_any(payload: bytes, fmt: str) -> np.ndarray:
 
         return decode_jpeg(payload)
     if fmt == "webp":
-        try:
-            import PIL.Image  # noqa: F401  (not present in this environment)
-        except ImportError:
-            raise NotImplementedError(
-                "webp decode requires an imaging library not present in this "
-                "container; plumbing is real, decoder is stubbed"
-            )
+        # own pure-python VP8L decoder (webp_codec.py); lossy VP8 files
+        # raise NotImplementedError from the codec itself
+        from ..webp_codec import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(f"unsupported image format: {fmt}")
 
 

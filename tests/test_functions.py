@@ -186,7 +186,7 @@ def test_multimodal_stages():
     assert out["height"][0].as_py() == 40 and out["width"][0].as_py() == 60
     with pytest.raises(ValueError):  # garbage jpeg -> decode error
         ImageDecodeResize()(pa.table({"img_id": [1], "payload": [b"xx"], "fmt": ["jpeg"]}))
-    with pytest.raises(NotImplementedError):  # webp stays env-gated
+    with pytest.raises(ValueError):  # garbage webp -> own VP8L decoder error
         ImageDecodeResize()(pa.table({"img_id": [1], "payload": [b"xx"], "fmt": ["webp"]}))
     with pytest.raises(NotImplementedError):
         FrameSampler()(pa.table({"video_id": [1], "payload": [b"not a video"]}))

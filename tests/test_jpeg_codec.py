@@ -82,8 +82,10 @@ def test_multimodal_decode_any_jpeg_unstubbed():
     assert (out == img).all()
     out = _decode_any(encode_jpeg(img, 90), "jpg")
     assert out.shape == (20, 30)
-    with pytest.raises(NotImplementedError):
-        _decode_any(b"\x00", "webp")
+    from oar_ocr_ray.webp_codec import encode_webp
+
+    out = _decode_any(encode_webp(img), "webp")
+    assert out.shape == (20, 30, 3) and (out == img[:, :, None]).all()
 
 
 # ---------------------------------------------------------------------------
