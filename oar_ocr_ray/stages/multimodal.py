@@ -105,10 +105,13 @@ class ImageFeatures:
 class FrameSampler:
     """Actor: 'video' payload -> one row per sampled frame (fan-out).
 
-    Real video decode needs codecs absent here; the payload contract is a
-    concatenation of PNG frames with a frame index (our test fixture), and
-    anything else raises NotImplementedError. Demonstrates the one-row ->
-    N-rows flat_map layout of the PDF rasterizer (pdf.rs:70)."""
+    REAL container path: MJPEG AVI (own RIFF parser, `avi_codec`), each
+    sampled frame emitted as its baseline-JPEG payload (`frame_fmt` column
+    says which codec decodes the frame bytes downstream). The FAKEVID1
+    concatenated-PNG contract remains for layout fixtures. Compressed
+    codecs (non-MJPG AVI, other containers) raise NotImplementedError
+    from avi_codec. Demonstrates the one-row -> N-rows flat_map layout of
+    the PDF rasterizer (pdf.rs:70)."""
 
     MAGIC = b"FAKEVID1"
 
@@ -125,33 +128,46 @@ class FrameSampler:
             out.append(f)
         return b"".join(out)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    @staticmethod
+    def _unpack_fakevid(p: bytes) -> list[bytes]:
         import struct
 
-        vids, frame_idx, frame_png = [], [], []
+        (n,) = struct.unpack_from("<I", p, len(FrameSampler.MAGIC))
+        pos = len(FrameSampler.MAGIC) + 4
+        frames = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from("<I", p, pos)
+            pos += 4
+            frames.append(p[pos:pos + ln])
+            pos += ln
+        return frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..avi_codec import decode_avi_frames
+
+        vids, frame_idx, frame_bytes, frame_fmt = [], [], [], []
         ids = batch["video_id"].to_pylist()
         for vid, p in zip(ids, batch["payload"].to_pylist()):
-            if not p.startswith(self.MAGIC):
+            if p.startswith(self.MAGIC):
+                frames, fmt = self._unpack_fakevid(p), "png"
+            elif p.startswith(b"RIFF"):
+                frames, fmt = decode_avi_frames(p), "jpeg"
+            else:
                 raise NotImplementedError(
-                    "real video containers need codecs not present in this "
-                    "container; decoder stubbed (FAKEVID1 contract only)"
+                    "unknown video payload (MJPEG AVI and the FAKEVID1 "
+                    "fixture contract are the decodable formats here)"
                 )
-            (n,) = struct.unpack_from("<I", p, len(self.MAGIC))
-            pos = len(self.MAGIC) + 4
-            for i in range(n):
-                (ln,) = struct.unpack_from("<I", p, pos)
-                pos += 4
-                frame = p[pos:pos + ln]
-                pos += ln
-                if i % self.every == 0:
-                    vids.append(vid)
-                    frame_idx.append(i)
-                    frame_png.append(frame)
+            for i in range(0, len(frames), self.every):
+                vids.append(vid)
+                frame_idx.append(i)
+                frame_bytes.append(frames[i])
+                frame_fmt.append(fmt)
         return pa.table(
             {
                 "video_id": pa.array(vids, batch["video_id"].type),
                 "frame_idx": pa.array(frame_idx, pa.int32()),
-                "frame": pa.array(frame_png, pa.binary()),
+                "frame": pa.array(frame_bytes, pa.binary()),
+                "frame_fmt": pa.array(frame_fmt, pa.string()),
             }
         )
 
