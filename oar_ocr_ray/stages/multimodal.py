@@ -175,35 +175,33 @@ class FrameSampler:
 class PdfRasterize:
     """Actor: PDF payload -> one row per rendered page (fan-out), mirroring
     the reference's pdfium rasterizer (/root/reference/src/bin/server/pdf.rs:24-130,
-    200 DPI, max dim 4000). pdfium/pypdfium2 are not present in this
-    container, so real PDFs raise NotImplementedError; the plumbing accepts
-    the FAKEVID1-style test contract via FrameSampler.pack for layout tests."""
+    200 DPI, max dim 4000). REAL for image-based (scanned) PDFs via the own
+    `pdf_codec` parser (FlateDecode/DCTDecode image XObjects scaled to the
+    MediaBox at `dpi`, long side capped at `max_dim`); text/vector pages
+    genuinely need pdfium and raise NotImplementedError from the codec.
+    The FAKEVID1 contract remains for layout fixtures."""
 
     def __init__(self, dpi: int = 200, max_dim: int = 4000):
         self.dpi = dpi
         self.max_dim = max_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import struct
+        from ..pdf_codec import rasterize_pdf_pages
 
         ids, page_idx, page_png = [], [], []
         for did, p in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
             if p.startswith(b"%PDF"):
-                raise NotImplementedError(
-                    "real PDF rasterization requires pdfium, not present in this "
-                    "container; plumbing (fan-out layout, dpi/max_dim policy) is real"
-                )
-            if not p.startswith(FrameSampler.MAGIC):
+                for i, raster in enumerate(rasterize_pdf_pages(p, self.dpi, self.max_dim)):
+                    ids.append(did)
+                    page_idx.append(i)
+                    page_png.append(encode_png(raster))
+            elif p.startswith(FrameSampler.MAGIC):
+                for i, frame in enumerate(FrameSampler._unpack_fakevid(p)):
+                    ids.append(did)
+                    page_idx.append(i)
+                    page_png.append(frame)
+            else:
                 raise NotImplementedError("unknown document payload format")
-            (n,) = struct.unpack_from("<I", p, len(FrameSampler.MAGIC))
-            pos = len(FrameSampler.MAGIC) + 4
-            for i in range(n):
-                (ln,) = struct.unpack_from("<I", p, pos)
-                pos += 4
-                ids.append(did)
-                page_idx.append(i)
-                page_png.append(p[pos:pos + ln])
-                pos += ln
         return pa.table(
             {
                 "doc_id": pa.array(ids, batch["doc_id"].type),
