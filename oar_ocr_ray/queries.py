@@ -3288,6 +3288,235 @@ FROM ({UNIGRAM_LOGPROB_SQL}) u JOIN documents d USING (doc_id)
 """
 
 
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance_weights(sf_dir: str, n_buckets: int = DSIR_BUCKETS,
+                            target_lang: str = "en"):
+    """DSIR data selection (Xie et al. 2023, public): per-document log
+    importance weight under hashed-unigram bag-of-words models of a
+    TARGET distribution (here: lang = target_lang docs, standing in for
+    "high-quality corpus") vs the RAW corpus. Docs scoring high are the
+    ones importance resampling keeps.
+
+    Tokens hash into n_buckets features (md5_lower64 % n_buckets — the
+    cross-version-stable hash used everywhere here, = DuckDB
+    md5_number_lower); bucket log-likelihood ratios are Laplace-smoothed
+    and quantized to INTEGER micro-nats, so the per-doc accumulation is
+    an exact int64 sum on both engines (the unigram_logprob trick).
+
+    Scale shape: pass 1 is per-batch (bucket, raw, target) count partials
+    -> ONE bounded exchange of <= n_buckets keys -> an n_buckets-row
+    driver table (fixed size by construction — this is DSIR's whole point:
+    the feature space never grows with the corpus) broadcast as an int64
+    LLR array via ray.put; pass 2 is a shuffle-free vectorized
+    np.take/bincount scoring map. No corpus-sized driver state."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .functions.dedup import md5_lower64_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _bucketize(words: pd.Series) -> np.ndarray:
+        codes, uniq = pd.factorize(words)
+        hv = (md5_lower64_batch(uniq) % np.uint64(n_buckets)).astype(np.int64)
+        return hv[codes]
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"is_t": (df["lang"] == target_lang).to_numpy(),
+                          "word": _tokens(df["text"])})
+        t = t.explode("word").dropna()
+        t = t[t["word"] != ""]
+        if not len(t):
+            return pd.DataFrame({"b": np.array([], np.int64),
+                                 "raw": np.array([], np.int64),
+                                 "tgt": np.array([], np.int64)})
+        b = _bucketize(t["word"])
+        raw = np.bincount(b, minlength=n_buckets)
+        tgt = np.bincount(b[t["is_t"].to_numpy()], minlength=n_buckets)
+        nz = raw > 0
+        return pd.DataFrame({"b": np.arange(n_buckets)[nz],
+                             "raw": raw[nz], "tgt": tgt[nz]})
+
+    counts = (ds.map_batches(count_partial, batch_format="pandas")
+              .groupby("b").aggregate(Sum("raw", alias_name="raw"),
+                                      Sum("tgt", alias_name="tgt"))
+              .to_pandas())  # <= n_buckets rows: bounded by construction
+    raw = np.zeros(n_buckets, np.int64)
+    tgt = np.zeros(n_buckets, np.int64)
+    if len(counts):
+        raw[counts["b"].to_numpy()] = counts["raw"].to_numpy()
+        tgt[counts["b"].to_numpy()] = counts["tgt"].to_numpy()
+    tot_r, tot_t = int(raw.sum()), int(tgt.sum())
+    llr = round_half_away(
+        (np.log((tgt + 1.0) / (tot_t + n_buckets))
+         - np.log((raw + 1.0) / (tot_r + n_buckets))) * 1e6, 0
+    ).astype(np.int64)
+    llr_ref = ray.put(llr)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        llr_arr = _ray.get(llr_ref)
+        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                          "word": _tokens(df["text"])})
+        t = t.explode("word").dropna()
+        t = t[t["word"] != ""]
+        if len(t):
+            t["lpm"] = llr_arr[_bucketize(t["word"])]
+            agg = t.groupby("doc_id", sort=False).agg(
+                n_tokens=("word", "size"), total=("lpm", "sum"))
+        else:
+            agg = pd.DataFrame(columns=["n_tokens", "total"])
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()}).join(
+            agg, on="doc_id")
+        n_tok = out["n_tokens"].fillna(0).to_numpy(np.int64)
+        tot = out["total"].fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(),
+            "n_tokens": n_tok,
+            "log_weight": round_half_away(tot / 1e6, 6),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+DSIR_SQL = rf"""
+WITH words AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT doc_id, lang,
+         CAST(md5_number_lower(word) % {DSIR_BUCKETS} AS BIGINT) AS b
+  FROM words WHERE word <> ''
+), tr AS (SELECT count(*) AS n FROM w),
+tt AS (SELECT count(*) AS n FROM w WHERE lang = 'en'),
+buckets AS (
+  SELECT b, count(*) AS raw,
+         count(*) FILTER (WHERE lang = 'en') AS tgt
+  FROM w GROUP BY b
+), llr AS (
+  SELECT b,
+         CAST(round((ln((tgt + 1.0) / ((SELECT n FROM tt) + {DSIR_BUCKETS}))
+                   - ln((raw + 1.0) / ((SELECT n FROM tr) + {DSIR_BUCKETS})))
+                    * 1000000) AS BIGINT) AS lpm
+  FROM buckets
+), per_doc AS (
+  SELECT w.doc_id, count(*) AS n_tokens, sum(l.lpm) AS total
+  FROM w JOIN llr l USING (b) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(round(p.total / 1000000.0, 6), 0.0) AS log_weight
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+CLS_BUCKETS = 512
+
+
+def classifier_filter_scores(sf_dir: str, n_buckets: int = CLS_BUCKETS):
+    """Model-based quality filtering in the fasttext/CCNet shape (public:
+    Joulin et al. 2016 hashing-trick linear classifier; the quality-filter
+    role per Wenzek et al. 2020 / Touvron et al. 2023): per document,
+    hashed unigram+bigram features -> linear score -> sigmoid prob ->
+    keep flag at 0.5. The weights here are a deterministic pinned vector
+    (md5-derived per bucket, milli-units — the stand-in for a trained
+    weights file, loaded once and broadcast), so the ORACLE can rebuild
+    the identical model in SQL: the correctness target is the INFERENCE
+    dataflow, which is exactly what this stage does in production.
+
+    Scale shape: no fit pass at all — the weight table is O(n_buckets)
+    and computed locally per actor (cheaper than shipping at this size);
+    scoring is one shuffle-free vectorized map: explode tokens, build
+    adjacent bigrams with a shift-compare (no Python per row), hash via
+    the cross-version-stable md5_lower64, np.take the weights, int64
+    groupby-sum. Accumulation is exact integer; the one sigmoid double
+    per doc is bit-identical to the oracle's."""
+    from .functions.dedup import md5_lower64_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wgt = (md5_lower64_batch([f"w:{b}" for b in range(n_buckets)])
+           % np.uint64(2001)).astype(np.int64) - 1000
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                          "f": _tokens(df["text"])})
+        t = t.explode("f").dropna()
+        t = t[t["f"] != ""].reset_index(drop=True)
+        if len(t):
+            # adjacent bigrams: explode preserves per-doc order, so a row
+            # pairs with its successor iff both belong to the same doc
+            nxt = t["f"].shift(-1)
+            same = t["doc_id"].to_numpy()[:-1] == t["doc_id"].to_numpy()[1:]
+            bi = pd.DataFrame({
+                "doc_id": t["doc_id"].to_numpy()[:-1][same],
+                "f": (t["f"].to_numpy()[:-1][same]
+                      + " " + nxt.to_numpy()[:-1][same]),
+            })
+            feats = pd.concat([t, bi], ignore_index=True)
+            codes, uniq = pd.factorize(feats["f"])
+            hv = (md5_lower64_batch(uniq) % np.uint64(n_buckets)).astype(np.int64)
+            feats["wv"] = wgt[hv[codes]]
+            agg = feats.groupby("doc_id", sort=False).agg(
+                n_feats=("f", "size"), total=("wv", "sum"))
+        else:
+            agg = pd.DataFrame(columns=["n_feats", "total"])
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()}).join(
+            agg, on="doc_id")
+        n_f = out["n_feats"].fillna(0).to_numpy(np.int64)
+        tot = out["total"].fillna(0).to_numpy(np.int64)
+        with np.errstate(over="ignore"):
+            prob = np.where(
+                n_f > 0,
+                round_half_away(
+                    1.0 / (1.0 + np.exp(-(tot * 1.0) / (1000.0 * np.maximum(n_f, 1)))), 6
+                ),
+                0.5,
+            )
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(),
+                             "n_feats": n_f,
+                             "prob": prob,
+                             "keep": prob >= 0.5})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+CLASSIFIER_FILTER_SQL = rf"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS wf
+  FROM documents
+), feats AS (
+  SELECT doc_id, unnest(wf) AS f FROM wl
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(wf) - 1),
+                               i -> wf[i] || ' ' || wf[i + 1])) AS f
+  FROM wl WHERE len(wf) >= 2
+), hashed AS (
+  SELECT doc_id, CAST(md5_number_lower(f) % {CLS_BUCKETS} AS BIGINT) AS b
+  FROM feats
+), wgt AS (
+  SELECT b, CAST(md5_number_lower('w:' || b) % 2001 AS BIGINT) - 1000 AS wv
+  FROM (SELECT unnest(generate_series(0, {CLS_BUCKETS - 1})) AS b)
+), per_doc AS (
+  SELECT h.doc_id, count(*) AS n_feats, sum(g.wv) AS total
+  FROM hashed h JOIN wgt g USING (b) GROUP BY h.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+       COALESCE(round(1.0 / (1.0 + exp(-(p.total * 1.0) / (1000.0 * p.n_feats))), 6),
+                0.5) AS prob,
+       COALESCE(round(1.0 / (1.0 + exp(-(p.total * 1.0) / (1000.0 * p.n_feats))), 6),
+                0.5) >= 0.5 AS keep
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def top_quartile_docs_per_source(sf_dir: str):
     """Per-source top-25% selection by document length (the stratified
     "keep the best slice of every source" curation step), EXACT at scale
@@ -4544,6 +4773,8 @@ QUERIES = {
     "semdedup_prune": semdedup_prune,
     "unigram_logprob_scores": unigram_logprob_scores,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "dsir_importance_weights": dsir_importance_weights,
+    "classifier_filter_scores": classifier_filter_scores,
     "top_quartile_docs_per_source": top_quartile_docs_per_source,
     "global_shuffle_rank": global_shuffle_rank,
     "hll_distinct_tokens": hll_distinct_tokens,
@@ -4630,6 +4861,8 @@ ORACLE_SQL = {
     "semdedup_prune": EMB_SEMDEDUP_SQL,
     "unigram_logprob_scores": UNIGRAM_LOGPROB_SQL,
     "ccnet_perplexity_buckets": CCNET_BUCKETS_SQL,
+    "dsir_importance_weights": DSIR_SQL,
+    "classifier_filter_scores": CLASSIFIER_FILTER_SQL,
     "top_quartile_docs_per_source": TOP_QUARTILE_SQL,
     "global_shuffle_rank": GLOBAL_SHUFFLE_SQL,
     "hll_distinct_tokens": HLL_SQL,

@@ -90,6 +90,7 @@ def oracle_pairs():
     "ngram_jaccard_dup_pairs",
     "fingerprints", "simhash_buckets", "simhash_dup_pairs", "minhash_bands",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_clusters", "embedding_near_dup_lsh",
+    "dsir_importance_weights", "classifier_filter_scores",
 ])
 def test_query_matches_oracle(ray_session, duck, name):
     from oar_ocr_ray.queries import ORACLE_SQL, QUERIES
