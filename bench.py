@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     # round-5 additions
     "unimax_allocation",
+    "dsir_importance_weights",
+    "classifier_filter_scores",
     # round-5: the production stage shape (det + rec session seams ON)
     "extract_flagship_seams",
 ]
