@@ -446,7 +446,10 @@ def split_box_by_cells(ocr_box: np.ndarray, cell_indices: np.ndarray,
     seen = set()
     unique = []
     for s in segs:
-        key = tuple(s)
+        # f32 BIT-PATTERN key, exactly structure.rs:1529-1543's
+        # to_bits() HashSet: collapses f64-distinct-but-f32-equal coords
+        # and keeps -0.0 / +0.0 as distinct entries
+        key = np.asarray(s, dtype=np.float32).tobytes()
         if key not in seen:
             seen.add(key)
             unique.append(s)

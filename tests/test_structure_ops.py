@@ -142,6 +142,26 @@ def test_split_box_by_cells_segments():
     ]
 
 
+def test_split_box_dedup_uses_f32_bit_pattern():
+    # structure.rs:1529-1543 dedups split boxes by the f32 BIT PATTERN of
+    # each coordinate: two cells f64-distinct but f32-equal must collapse
+    # to one segment (exact duplicates likewise)
+    ocr = np.array([0.0, 0.0, 40.0, 10.0])
+    eps64 = 30.0 + 1e-9  # != 30.0 in f64, == 30.0 in f32
+    assert eps64 != 30.0 and np.float32(eps64) == np.float32(30.0)
+    cells = np.array([[0.0, 0.0, 30.0, 10.0], [0.0, 0.0, eps64, 10.0]])
+    segs = split_box_by_cells(ocr, np.array([0, 1]), cells)
+    # f64-tuple dedup would keep 3 segments ([0,0,30,10], [0,0,30+eps,10],
+    # trailing); the f32 bit-pattern key collapses the first two
+    assert len(segs) == 2
+    assert segs[0].tolist() == [0.0, 0.0, 30.0, 10.0]
+    assert segs[1].tolist() == [eps64, 0.0, 40.0, 10.0]
+    # literal duplicate cells collapse too
+    cells2 = np.array([[0.0, 0.0, 30.0, 10.0], [0.0, 0.0, 30.0, 10.0]])
+    segs2 = split_box_by_cells(ocr, np.array([0, 1]), cells2)
+    assert len(segs2) == 2  # one cell segment + the trailing segment
+
+
 def test_split_ocr_by_table_cells_k_min():
     cells = np.array([[10.0, 0.0, 40.0, 10.0], [60.0, 0.0, 80.0, 10.0]])
     boxes = np.array([
