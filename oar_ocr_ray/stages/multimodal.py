@@ -85,8 +85,13 @@ class ImageFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
-        for p in batch["payload"].to_pylist():
-            g = decode_png(p)[:, :, 0].astype(np.float32) / 255.0
+        fmts = (batch["fmt"].to_pylist() if "fmt" in batch.column_names
+                else ["png"] * batch.num_rows)
+        for p, f in zip(batch["payload"].to_pylist(), fmts):
+            img = _decode_any(p, f)
+            if img.ndim == 2:  # grayscale JPEG decodes as (H, W)
+                img = img[:, :, None]
+            g = img[:, :, 0].astype(np.float32) / 255.0
             h, w = g.shape
             gy = np.linspace(0, h, self.grid + 1).astype(int)
             gx = np.linspace(0, w, self.grid + 1).astype(int)

@@ -173,6 +173,19 @@ def test_multimodal_stages():
     feats = fb["features"][0].as_py()
     assert len(feats) == 18 and abs(feats[0] - 128 / 255) < 1e-3
 
+    # fmt-dispatching feature extraction: same image via all three codecs
+    from oar_ocr_ray.jpeg_codec import encode_jpeg
+    from oar_ocr_ray.webp_codec import encode_webp
+
+    gray = np.full((20, 30), 100, dtype=np.uint8)
+    fb3 = ImageFeatures()(pa.table({
+        "img_id": [1, 2, 3],
+        "payload": [encode_png(gray), encode_jpeg(gray, 90), encode_webp(gray)],
+        "fmt": ["png", "jpeg", "webp"],
+    }))
+    for f in fb3["features"].to_pylist():
+        assert len(f) == 18 and abs(f[-2] - 100 / 255) < 0.02
+
     vid = FrameSampler.pack([png, png, png, png, png])
     frames = FrameSampler(every=2)(pa.table({"video_id": [7], "payload": [vid]}))
     assert frames["frame_idx"].to_pylist() == [0, 2, 4]
