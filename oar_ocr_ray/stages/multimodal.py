@@ -3,10 +3,11 @@
 Image/audio/video payloads are `binary` columns with metadata columns; each
 transform is an actor-pool `map_batches` stage whose Ray-side plumbing
 (schema, batch size, actor signature, output layout) is real and tested.
-REAL decoders in this environment: PNG (png_codec), baseline grayscale
-JPEG (jpeg_codec), PCM WAV (wav_codec) — all own pure-python/numpy code.
-Formats that genuinely need external libs (webp, compressed audio, video
-containers, PDF) are gated behind import-try and STUBBED with a clearly
+REAL decoders in this environment — all own pure-python/numpy code: PNG
+(png_codec), baseline JPEG (jpeg_codec), WebP lossless (webp_codec), PCM
+WAV (wav_codec), FLAC (flac_codec), MJPEG-AVI video (avi_codec), and
+image-based PDF (pdf_codec). Only lossy codecs (VP8/H.264/MP3/AAC) and
+text-PDF rasterization genuinely need external libs and raise a clearly
 marked NotImplementedError.
 
 Reference analogues: load_image_from_memory (/root/reference/src/utils/image.rs:65),
@@ -223,15 +224,20 @@ class AudioFeatures:
     a lossless container, `wav_codec.decode_wav`, no external lib), with
     vectorized numpy features: duration, RMS level, zero-crossing rate,
     peak — the deterministic stand-in for an audio-embedding forward pass
-    with the same actor signature. Compressed formats raise
-    NotImplementedError from the codec (env-gated like webp)."""
+    with the same actor signature. FLAC payloads decode via the own
+    flac_codec (lossless, MD5-verified); lossy codecs raise
+    NotImplementedError from the codec."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..flac_codec import decode_flac
         from ..wav_codec import decode_wav
 
         durs, rms, zcr, peak, rates = [], [], [], [], []
         for p in batch["payload"].to_pylist():
-            samples, rate = decode_wav(p)
+            if p[:4] == b"fLaC":
+                samples, rate = decode_flac(p)
+            else:
+                samples, rate = decode_wav(p)
             x = samples.astype(np.float64).mean(axis=1) / 32768.0  # downmix
             n = max(len(x), 1)
             durs.append(len(x) / rate)
