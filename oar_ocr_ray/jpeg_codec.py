@@ -10,11 +10,16 @@ stuffing, DC prediction, run-length AC coding.
 
 Scope (documented, verified in tests/test_jpeg_codec.py):
   - encode: 8-bit grayscale, and RGB color via JFIF full-range BT.601
-    YCbCr at 4:4:4 or 4:2:0 (box-mean chroma downsampling); no restarts;
-  - decode: baseline sequential, 8-bit quant tables, interleaved scans
-    with arbitrary sampling factors (4:4:4 / 4:2:0 / 4:2:2), 1- or
-    3-component; nearest-neighbor chroma upsampling. Progressive /
-    12-bit / arithmetic / restart intervals raise NotImplementedError.
+    YCbCr at 4:4:4 or 4:2:0 (box-mean chroma downsampling); optional
+    DRI/RSTn restart intervals; optional progressive (SOF2) output as a
+    spectral-selection two-scan stream (DC scan + full-band AC scans);
+  - decode: baseline sequential AND progressive (SOF2: spectral
+    selection + successive approximation, incl. EOBn run coding and
+    AC/DC refinement scans), 8-bit quant tables, interleaved and
+    single-component scans with arbitrary sampling factors (4:4:4 /
+    4:2:0 / 4:2:2), 1- or 3-component, DRI/RSTn restart markers;
+    nearest-neighbor chroma upsampling. 12-bit / arithmetic / lossless
+    / hierarchical modes raise NotImplementedError.
 
 JPEG is lossy: the pipeline's pixel-text fixture contract stays on PNG;
 this codec serves the multimodal decode surface (thumbnails, features).
@@ -197,15 +202,19 @@ def _plane_zigzag(plane: np.ndarray, q88: np.ndarray,
     return np.round(coefs / q88).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
 
 
-def _write_block(bw: "_BitWriter", row: np.ndarray, prev_dc: int,
-                 dc_enc: dict, ac_enc: dict) -> int:
-    dc = int(row[0])
+def _write_dc(bw: "_BitWriter", dc: int, prev_dc: int, dc_enc: dict) -> int:
     diff = dc - prev_dc
     cat = _category(diff)
     code, ln = dc_enc[cat]
     bw.write(code, ln)
     if cat:
         bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    return dc
+
+
+def _write_ac_band(bw: "_BitWriter", row: np.ndarray, ac_enc: dict) -> None:
+    """AC coefficients 1..63 with ZRL/EOB — the baseline AC layout, which
+    is also a valid spectral-selection-only progressive scan (EOB = EOB0)."""
     run = 0
     last_nz = np.nonzero(row[1:])[0]
     last = int(last_nz[-1]) + 1 if len(last_nz) else 0
@@ -226,7 +235,36 @@ def _write_block(bw: "_BitWriter", row: np.ndarray, prev_dc: int,
     if last < 63:
         c, l2 = ac_enc[0x00]  # EOB
         bw.write(c, l2)
+
+
+def _write_block(bw: "_BitWriter", row: np.ndarray, prev_dc: int,
+                 dc_enc: dict, ac_enc: dict) -> int:
+    dc = _write_dc(bw, int(row[0]), prev_dc, dc_enc)
+    _write_ac_band(bw, row, ac_enc)
     return dc
+
+
+class _Restart:
+    """Emit RSTn every `ri` MCUs into the entropy stream (baseline)."""
+
+    def __init__(self, bw: "_BitWriter", ri: int):
+        self.bw = bw
+        self.ri = ri
+        self.cnt = 0
+        self.m = 0
+
+    def tick(self) -> bool:
+        """Call before each MCU; True means reset the DC predictors."""
+        if not self.ri:
+            return False
+        fire = self.cnt == self.ri
+        if fire:
+            self.bw.flush()
+            self.bw.out += bytes([0xFF, 0xD0 + self.m])
+            self.m = (self.m + 1) % 8
+            self.cnt = 0
+        self.cnt += 1
+        return fire
 
 
 def _marker(m, payload=b""):
@@ -234,16 +272,22 @@ def _marker(m, payload=b""):
         (len(payload) + 2).to_bytes(2, "big") + payload if payload else b"")
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsample: bool = False) -> bytes:
-    """(H, W) grayscale or (H, W, 3) RGB uint8 -> baseline JFIF bytes.
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
+                progressive: bool = False, restart_interval: int = 0) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 -> JFIF bytes.
 
     Color uses the JFIF full-range BT.601 YCbCr transform with Annex K
     chroma quant/Huffman tables; 4:4:4 by default, 4:2:0 (2x2 box-mean
-    chroma downsampling) when subsample=True."""
+    chroma downsampling) when subsample=True. progressive=True emits a
+    spectral-selection SOF2 stream (one interleaved DC scan + one AC scan
+    per component) that decodes to the IDENTICAL pixels as the baseline
+    stream. restart_interval>0 inserts RSTn markers every that many MCUs
+    (baseline only)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
+    if progressive and restart_interval:
+        raise ValueError("restart intervals implemented for baseline only")
     color = img.ndim == 3 and img.shape[2] == 3
     if img.ndim == 3 and not color:
         img = img[:, :, 0]
@@ -251,7 +295,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     ql = _quant_table(quality)
     ql88 = ql.reshape(8, 8).astype(np.float64)
 
-    bw = _BitWriter()
+    # per-component plan: zigzag grid at MCU-padded dims + geometry + tables
+    plan = []  # dicts: cid, zz, hs, vs, bw_pad, bw_real, bh_real, encoders
     if color:
         r = img[:, :, 0].astype(np.float64)
         g = img[:, :, 1].astype(np.float64)
@@ -262,45 +307,43 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         qc = _quant_table(quality, STD_CHROMA_QUANT)
         qc88 = qc.reshape(8, 8).astype(np.float64)
         if subsample:
-            # 4:2:0: chroma = 2x2 box mean over an even-padded plane
             eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+
             def down(p):
                 q = np.empty((eh, ew), dtype=np.float64)
                 q[:h, :w] = p
                 q[h:, :w] = p[h - 1:h, :]
                 q[:, w:] = q[:, w - 1:w]
                 return q.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+
             mcuy, mcux = -(-h // 16), -(-w // 16)
-            zzy = _plane_zigzag(y, ql88, pad_to=(mcuy * 16, mcux * 16))
-            zzcb = _plane_zigzag(down(cb), qc88, pad_to=(mcuy * 8, mcux * 8))
-            zzcr = _plane_zigzag(down(cr), qc88, pad_to=(mcuy * 8, mcux * 8))
-            py = pcb = pcr = 0
-            yw = mcux * 2  # Y blocks per row
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    for by in range(2):  # 4 Y blocks, raster within MCU
-                        for bx in range(2):
-                            n = (my * 2 + by) * yw + mx * 2 + bx
-                            py = _write_block(bw, zzy[n], py, DC_ENC, AC_ENC)
-                    n = my * mcux + mx
-                    pcb = _write_block(bw, zzcb[n], pcb, DCC_ENC, ACC_ENC)
-                    pcr = _write_block(bw, zzcr[n], pcr, DCC_ENC, ACC_ENC)
+            plan.append(dict(cid=1, hs=2, vs=2, dc=DC_ENC, ac=AC_ENC,
+                             dct=0, act=0,
+                             zz=_plane_zigzag(y, ql88, pad_to=(mcuy * 16, mcux * 16)),
+                             bw_pad=mcux * 2, bw_real=-(-w // 8), bh_real=-(-h // 8)))
+            for cid, p in ((2, down(cb)), (3, down(cr))):
+                plan.append(dict(cid=cid, hs=1, vs=1, dc=DCC_ENC, ac=ACC_ENC,
+                                 dct=1, act=1,
+                                 zz=_plane_zigzag(p, qc88, pad_to=(mcuy * 8, mcux * 8)),
+                                 bw_pad=mcux, bw_real=-(-w // 16), bh_real=-(-h // 16)))
             y_hv = 0x22
         else:
-            planes = [(_plane_zigzag(y, ql88), DC_ENC, AC_ENC),
-                      (_plane_zigzag(cb, qc88), DCC_ENC, ACC_ENC),
-                      (_plane_zigzag(cr, qc88), DCC_ENC, ACC_ENC)]
-            prev = [0, 0, 0]
-            for n in range(len(planes[0][0])):  # 4:4:4 MCU: 1 block each
-                for ci, (zz, dce, ace) in enumerate(planes):
-                    prev[ci] = _write_block(bw, zz[n], prev[ci], dce, ace)
+            mcuy, mcux = -(-h // 8), -(-w // 8)
+            for cid, p, q88, dce, ace, tid in (
+                    (1, y, ql88, DC_ENC, AC_ENC, 0),
+                    (2, cb, qc88, DCC_ENC, ACC_ENC, 1),
+                    (3, cr, qc88, DCC_ENC, ACC_ENC, 1)):
+                plan.append(dict(cid=cid, hs=1, vs=1, dc=dce, ac=ace,
+                                 dct=tid, act=tid, zz=_plane_zigzag(p, q88),
+                                 bw_pad=mcux, bw_real=mcux, bh_real=mcuy))
             y_hv = 0x11
     else:
-        zz = _plane_zigzag(img.astype(np.float64), ql88)
-        prev = 0
-        for n in range(len(zz)):
-            prev = _write_block(bw, zz[n], prev, DC_ENC, AC_ENC)
-    bw.flush()
+        mcuy, mcux = -(-h // 8), -(-w // 8)
+        plan.append(dict(cid=1, hs=1, vs=1, dc=DC_ENC, ac=AC_ENC,
+                         dct=0, act=0,
+                         zz=_plane_zigzag(img.astype(np.float64), ql88),
+                         bw_pad=mcux, bw_real=mcux, bh_real=mcuy))
+        y_hv = 0x11
 
     out = bytearray()
     out += bytes([0xFF, 0xD8])  # SOI
@@ -312,15 +355,66 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         out += _marker(0xDB, bytes([1]) + bytes(int(qc[z]) for z in ZIGZAG))
         out += _marker(0xC4, bytes([0x01]) + bytes(DCC_BITS) + bytes(DCC_VALS))
         out += _marker(0xC4, bytes([0x11]) + bytes(ACC_BITS) + bytes(ACC_VALS))
-        out += _marker(0xC0, bytes([8]) + h.to_bytes(2, "big")
+    sof = 0xC2 if progressive else 0xC0
+    if color:
+        out += _marker(sof, bytes([8]) + h.to_bytes(2, "big")
                        + w.to_bytes(2, "big")
                        + bytes([3, 1, y_hv, 0, 2, 0x11, 1, 3, 0x11, 1]))
-        out += _marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     else:
-        out += _marker(0xC0, bytes([8]) + h.to_bytes(2, "big")
+        out += _marker(sof, bytes([8]) + h.to_bytes(2, "big")
                        + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
-        out += _marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    out += bw.out
+    if restart_interval:
+        out += _marker(0xDD, int(restart_interval).to_bytes(2, "big"))
+
+    def mcu_blocks():
+        for m in range(mcuy * mcux):
+            my, mx = divmod(m, mcux)
+            blocks = []
+            for ci, c in enumerate(plan):
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        n = (my * c["vs"] + by) * c["bw_pad"] + mx * c["hs"] + bx
+                        blocks.append((ci, n))
+            yield blocks
+
+    if not progressive:
+        bw = _BitWriter()
+        rst = _Restart(bw, restart_interval)
+        prev = [0] * len(plan)
+        for blocks in mcu_blocks():
+            if rst.tick():
+                prev = [0] * len(plan)
+            for ci, n in blocks:
+                c = plan[ci]
+                prev[ci] = _write_block(bw, c["zz"][n], prev[ci], c["dc"], c["ac"])
+        bw.flush()
+        hdr = bytes([len(plan)])
+        for c in plan:
+            hdr += bytes([c["cid"], (c["dct"] << 4) | c["act"]])
+        hdr += bytes([0, 63, 0])
+        out += _marker(0xDA, hdr) + bw.out
+    else:
+        # scan 1: interleaved DC (Ss=Se=0, Ah=Al=0)
+        bw = _BitWriter()
+        prev = [0] * len(plan)
+        for blocks in mcu_blocks():
+            for ci, n in blocks:
+                c = plan[ci]
+                prev[ci] = _write_dc(bw, int(c["zz"][n][0]), prev[ci], c["dc"])
+        bw.flush()
+        hdr = bytes([len(plan)])
+        for c in plan:
+            hdr += bytes([c["cid"], c["dct"] << 4])
+        hdr += bytes([0, 0, 0])
+        out += _marker(0xDA, hdr) + bw.out
+        # scans 2..: one non-interleaved AC scan per component (band 1-63)
+        for c in plan:
+            bw = _BitWriter()
+            for n_lin in range(c["bh_real"] * c["bw_real"]):
+                by, bx = divmod(n_lin, c["bw_real"])
+                _write_ac_band(bw, c["zz"][by * c["bw_pad"] + bx], c["ac"])
+            bw.flush()
+            out += _marker(0xDA, bytes([1, c["cid"], c["act"], 1, 63, 0])) + bw.out
     out += bytes([0xFF, 0xD9])  # EOI
     return bytes(out)
 
@@ -377,28 +471,165 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def _decode_block(br: _BitReader, dec_dc: dict, dec_ac: dict,
-                  prev_dc: int) -> tuple[np.ndarray, int]:
-    row = np.zeros(64, dtype=np.int64)
-    cat = _read_symbol(br, dec_dc)
-    diff = _extend(br.read(cat), cat) if cat else 0
-    prev_dc += diff
-    row[0] = prev_dc
-    i = 1
-    while i < 64:
-        sym = _read_symbol(br, dec_ac)
-        if sym == 0x00:  # EOB
-            break
-        if sym == 0xF0:  # ZRL
-            i += 16
-            continue
-        run, cat = sym >> 4, sym & 0xF
-        i += run
-        if i > 63:
-            raise ValueError("AC run past block end")
-        row[i] = _extend(br.read(cat), cat)
-        i += 1
-    return row, prev_dc
+def _restart_sync(br: _BitReader) -> None:
+    """Byte-align past a RSTn marker: discard buffered bits, consume FFD0-7."""
+    br.acc = 0
+    br.nbits = 0
+    if (br.pos + 1 >= len(br.data) or br.data[br.pos] != 0xFF
+            or not 0xD0 <= br.data[br.pos + 1] <= 0xD7):
+        raise ValueError("expected restart marker")
+    br.pos += 2
+
+
+def _decode_band_first(br, dec_dc, dec_ac, coef, prev_dc, ss, se, al, eobrun):
+    """First-pass (Ah=0) decode of zigzag coefficients ss..se into `coef`.
+    Baseline is the ss=0, se=63, al=0 special case; progressive DC scans
+    are ss=se=0 and AC scans carry EOB runs (T.81 G.1.2.2)."""
+    if ss == 0:
+        cat = _read_symbol(br, dec_dc)
+        diff = _extend(br.read(cat), cat) if cat else 0
+        prev_dc += diff
+        coef[0] = prev_dc << al
+        k = 1
+    else:
+        k = ss
+    if k <= se:
+        if eobrun > 0:
+            eobrun -= 1
+        else:
+            while k <= se:
+                sym = _read_symbol(br, dec_ac)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (br.read(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                coef[k] = _extend(br.read(s), s) << al
+                k += 1
+    return prev_dc, eobrun
+
+
+def _refine_nonzero(br, coef, k, p1):
+    # correction bit for a coefficient that already has history
+    # (two's-complement & p1 test works for negatives, same as libjpeg)
+    if br.read(1) and (int(coef[k]) & p1) == 0:
+        coef[k] += p1 if coef[k] > 0 else -p1
+
+
+def _decode_band_refine(br, dec_ac, coef, ss, se, al, eobrun):
+    """AC successive-approximation refinement scan (Ah>0), T.81 G.1.2.3."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, dec_ac)
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (br.read(r) if r else 0)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude category")
+                val = p1 if br.read(1) else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(br, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(br, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _find_scan_end(data: bytes, start: int) -> int:
+    """Index of the first marker after `start` that ends entropy data
+    (anything but stuffed 0x00, RSTn, or fill 0xFF)."""
+    i = start
+    n = len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+        elif data[i + 1] == 0x00 or 0xD0 <= data[i + 1] <= 0xD7:
+            i += 2
+        elif data[i + 1] == 0xFF:
+            i += 1
+        else:
+            return i
+    return n
+
+
+def _decode_scan(data, start, end, scan_comps, params, geo, grids,
+                 huff_dc, huff_ac, ri):
+    ss, se, ah, al = params
+    br = _BitReader(data[start:end])
+    prev = {ci: 0 for ci, _, _ in scan_comps}
+    eobrun = 0
+    cnt = 0
+
+    def do_block(ci, dct, act, n):
+        nonlocal eobrun
+        coef = grids[ci][n]
+        if ah == 0:
+            prev[ci], eobrun = _decode_band_first(
+                br, huff_dc.get(dct), huff_ac.get(act), coef, prev[ci],
+                ss, se, al, eobrun)
+        elif ss == 0:  # DC refinement: one raw bit per block
+            coef[0] = int(coef[0]) | (br.read(1) << al)
+        else:
+            eobrun = _decode_band_refine(br, huff_ac.get(act), coef,
+                                         ss, se, al, eobrun)
+
+    def restart():
+        nonlocal eobrun, cnt
+        _restart_sync(br)
+        for ci in prev:
+            prev[ci] = 0
+        eobrun = 0
+        cnt = 0
+
+    if len(scan_comps) == 1:
+        # non-interleaved: the component's own raster over its REAL dims
+        ci, dct, act = scan_comps[0]
+        g = geo[ci]
+        for n_lin in range(g["bh_real"] * g["bw_real"]):
+            if ri and cnt == ri:
+                restart()
+            by, bx = divmod(n_lin, g["bw_real"])
+            do_block(ci, dct, act, by * g["bw_pad"] + bx)
+            cnt += 1
+    else:
+        if ss != 0:
+            raise ValueError("interleaved AC scan is not allowed")
+        for m in range(geo["mcuy"] * geo["mcux"]):
+            if ri and cnt == ri:
+                restart()
+            my, mx = divmod(m, geo["mcux"])
+            for ci, dct, act in scan_comps:
+                g = geo[ci]
+                for by in range(g["vs"]):
+                    for bx in range(g["hs"]):
+                        do_block(ci, dct, act,
+                                 (my * g["vs"] + by) * g["bw_pad"]
+                                 + mx * g["hs"] + bx)
+            cnt += 1
 
 
 def _idct_plane(zz: np.ndarray, q88: np.ndarray, bh: int, bw_: int) -> np.ndarray:
@@ -412,12 +643,14 @@ def _idct_plane(zz: np.ndarray, q88: np.ndarray, bh: int, bw_: int) -> np.ndarra
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W) uint8 grayscale or (H, W, 3) RGB.
+    """JFIF bytes -> (H, W) uint8 grayscale or (H, W, 3) RGB.
 
-    Handles interleaved baseline scans with arbitrary per-component
-    sampling factors (4:4:4, 4:2:0, 4:2:2, ...) — chroma planes are
-    nearest-neighbor upsampled, JFIF full-range BT.601 back to RGB.
-    Progressive / 12-bit / arithmetic coding / restart intervals raise
+    Handles baseline AND progressive (SOF2: spectral selection +
+    successive approximation, EOB runs) DCT processes, interleaved and
+    non-interleaved scans with arbitrary sampling factors (4:4:4, 4:2:0,
+    4:2:2, ...), restart intervals, multi-scan table redefinition; chroma
+    is nearest-neighbor upsampled, JFIF full-range BT.601 back to RGB.
+    12-bit / arithmetic / lossless / hierarchical raise
     NotImplementedError."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (missing SOI)")
@@ -427,14 +660,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     h = w = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
-    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
-    scan_start = None
-    while pos + 4 <= len(data):
+    geo: dict = {}
+    grids: dict[int, np.ndarray] = {}
+    ri = 0
+    got_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         m = data[pos + 1]
-        if m == 0xD9:  # EOI before SOS
+        if m == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if m == 0xD9:
             break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
+            pos += 2
+            continue
         seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
         seg = data[pos + 4:pos + 2 + seglen]
         pos += 2 + seglen
@@ -458,79 +699,68 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 dec = _build_decoder(bits, vals)
                 (huff_ac if tc_th >> 4 else huff_dc)[tc_th & 0xF] = dec
                 i += 17 + n
-        elif m == 0xC0:
+        elif m in (0xC0, 0xC1, 0xC2):
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit precision")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
+            comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("non-baseline JPEG process")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            geo = {"mcux": mcux, "mcuy": mcuy, "hmax": hmax, "vmax": vmax}
+            grids = {}
+            for ci, (_, hs, vs, tq) in enumerate(comps):
+                geo[ci] = {
+                    "hs": hs, "vs": vs, "tq": tq,
+                    "bw_pad": mcux * hs, "bh_pad": mcuy * vs,
+                    "bw_real": -(-(w * hs) // (8 * hmax)),
+                    "bh_real": -(-(h * vs) // (8 * vmax)),
+                }
+                grids[ci] = np.zeros((mcuy * vs * mcux * hs, 64), np.int64)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCC, 0xCD, 0xCE, 0xCF, 0xDE):
+            raise NotImplementedError(
+                "arithmetic/lossless/hierarchical JPEG process")
         elif m == 0xDD:
-            if int.from_bytes(seg[:2], "big") != 0:
-                raise NotImplementedError("restart intervals unsupported")
+            ri = int.from_bytes(seg[:2], "big")
         elif m == 0xDA:
+            if h is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            scan_comps = []
             for s in range(ns):
                 cs, tables = seg[1 + 2 * s], seg[2 + 2 * s]
                 ci = next(i for i, c in enumerate(comps) if c[0] == cs)
-                scan.append((ci, tables >> 4, tables & 0xF))
-            scan_start = pos
-            break
+                scan_comps.append((ci, tables >> 4, tables & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            end = _find_scan_end(data, pos)
+            _decode_scan(data, pos, end, scan_comps,
+                         (ss, se, ahal >> 4, ahal & 0xF),
+                         geo, grids, huff_dc, huff_ac, ri)
+            got_scan = True
+            pos = end
         # APPn/COM: skipped
-    if h is None or scan_start is None or not comps or not scan:
+    if h is None or not got_scan:
         raise ValueError("truncated JPEG (no SOF/SOS)")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    br = _BitReader(data[scan_start:])
-
-    if len(scan) == 1:
-        # non-interleaved scan: MCU = one block, grid = the component's own
-        # block dims (T.81 A.2.2)
-        ci, dct, act = scan[0]
-        _, hs, vs, tq = comps[ci]
-        ch = -(-(h * vs) // (8 * vmax))
-        cw = -(-(w * hs) // (8 * hmax))
-        zz = np.zeros((ch * cw, 64), dtype=np.int64)
-        prev = 0
-        for n in range(ch * cw):
-            zz[n], prev = _decode_block(br, huff_dc[dct], huff_ac[act], prev)
-        planes = {ci: _idct_plane(zz, quant[tq].reshape(8, 8).astype(np.float64),
-                                  ch, cw)}
-    else:
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
-        grids = {}
-        for ci, _, _ in scan:
-            _, hs, vs, _ = comps[ci]
-            grids[ci] = np.zeros((mcuy * vs * mcux * hs, 64), dtype=np.int64)
-        prev = {ci: 0 for ci, _, _ in scan}
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci, dct, act in scan:
-                    _, hs, vs, _ = comps[ci]
-                    for by in range(vs):
-                        for bx in range(hs):
-                            row, prev[ci] = _decode_block(
-                                br, huff_dc[dct], huff_ac[act], prev[ci])
-                            grids[ci][(my * vs + by) * (mcux * hs)
-                                      + mx * hs + bx] = row
-        planes = {}
-        for ci, _, _ in scan:
-            _, hs, vs, tq = comps[ci]
-            planes[ci] = _idct_plane(
-                grids[ci], quant[tq].reshape(8, 8).astype(np.float64),
-                mcuy * vs, mcux * hs)
+    planes = {}
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        planes[ci] = _idct_plane(
+            grids[ci], quant[tq].reshape(8, 8).astype(np.float64),
+            geo[ci]["bh_pad"], geo[ci]["bw_pad"])
 
     if len(comps) == 1:
         return planes[0][:h, :w]
     if len(comps) != 3:
         raise NotImplementedError(f"{len(comps)}-component JPEG unsupported")
-    # upsample each plane to (h, w) by nearest neighbor, then YCbCr -> RGB
+    hmax, vmax = geo["hmax"], geo["vmax"]
     full = []
     for ci, (_, hs, vs, _) in enumerate(comps):
         p = planes[ci]

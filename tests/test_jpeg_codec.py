@@ -185,3 +185,166 @@ def test_out_of_range_quality_clamped_consistently():
     # grayscale path too
     g = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
     assert encode_jpeg(g, quality=0) == encode_jpeg(g, quality=1)
+
+
+# --- progressive (SOF2) + restart intervals -------------------------------
+
+def test_progressive_decodes_identical_to_baseline():
+    rng = np.random.default_rng(7)
+    for shape, kw in [((41, 67, 3), {}), ((41, 67, 3), {"subsample": True}),
+                      ((33, 50), {})]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85, **kw))
+        prog = decode_jpeg(encode_jpeg(img, quality=85, progressive=True, **kw))
+        assert np.array_equal(base, prog)
+
+
+def test_restart_interval_decodes_identical_to_baseline():
+    rng = np.random.default_rng(11)
+    for shape, kw in [((41, 67, 3), {}), ((41, 67, 3), {"subsample": True}),
+                      ((17, 120), {})]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85, **kw))
+        for ri in (1, 3, 7):
+            rst = decode_jpeg(encode_jpeg(img, quality=85,
+                                          restart_interval=ri, **kw))
+            assert np.array_equal(base, rst)
+
+
+def test_progressive_stream_is_sof2():
+    img = np.full((16, 16), 200, dtype=np.uint8)
+    data = encode_jpeg(img, progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    with pytest.raises(ValueError):
+        encode_jpeg(img, progressive=True, restart_interval=2)
+
+
+def _sa_encode_gray(img, quality=85):
+    """Hand-rolled successive-approximation (Ah/Al) progressive encoder for
+    grayscale — exists only to exercise the decoder's refinement paths
+    (T.81 G.1.2.3), which the library encoder (spectral selection only,
+    Ah=Al=0) never emits."""
+    from oar_ocr_ray.jpeg_codec import (
+        AC_BITS, AC_ENC, AC_VALS, DC_BITS, DC_ENC, DC_VALS, ZIGZAG,
+        _BitWriter, _category, _marker, _plane_zigzag)
+
+    h, w = img.shape
+    ql = _quant_table(quality)
+    zz = _plane_zigzag(img.astype(np.float64), ql.reshape(8, 8).astype(float))
+
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xDB, bytes([0]) + bytes(int(ql[z]) for z in ZIGZAG))
+    out += _marker(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _marker(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _marker(0xC2, bytes([8]) + h.to_bytes(2, "big")
+                   + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+
+    def scan(hdr, body):
+        out.extend(_marker(0xDA, bytes([1, 1]) + hdr) + body)
+
+    # scan 1: DC first, Al=1 (arithmetic shift per T.81 point transform)
+    bw = _BitWriter()
+    prev = 0
+    for row in zz:
+        dc = int(row[0]) >> 1
+        diff = dc - prev
+        prev = dc
+        cat = _category(diff)
+        code, ln = DC_ENC[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    bw.flush()
+    scan(bytes([0x00, 0, 0, 0x01]), bw.out)
+
+    # scan 2: AC first, band 1..63, Al=1, with EOB runs
+    bw = _BitWriter()
+    for row in zz:
+        t = [int(v) // 2 if v >= 0 else -((-int(v)) // 2) for v in row]
+        run = 0
+        nz = [k for k in range(1, 64) if t[k]]
+        last = nz[-1] if nz else 0
+        for k in range(1, last + 1):
+            if t[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, l2 = AC_ENC[0xF0]
+                bw.write(c, l2)
+                run -= 16
+            cat = _category(t[k])
+            c, l2 = AC_ENC[(run << 4) | cat]
+            bw.write(c, l2)
+            bw.write(t[k] if t[k] > 0 else t[k] + (1 << cat) - 1, cat)
+            run = 0
+        if last < 63:
+            c, l2 = AC_ENC[0x00]  # EOB0 (eobrun = 1 block)
+            bw.write(c, l2)
+    bw.flush()
+    scan(bytes([0x00, 1, 63, 0x01]), bw.out)
+
+    # scan 3: DC refinement, Ah=1 Al=0 — raw bit 0 of each DC value
+    bw = _BitWriter()
+    for row in zz:
+        bw.write(int(row[0]) & 1, 1)
+    bw.flush()
+    scan(bytes([0x00, 0, 0, 0x10]), bw.out)
+
+    # scan 4: AC refinement, band 1..63, Ah=1 Al=0 (G.1.2.3)
+    bw = _BitWriter()
+    for row in zz:
+        v = [int(x) for x in row]
+        hist = [abs(v[k]) >> 1 != 0 for k in range(64)]  # nonzero after scan 2
+        newly = [k for k in range(1, 64) if abs(v[k]) == 1]
+        last_new = newly[-1] if newly else 0
+        k = 1
+        pending = []  # correction bits owed for history coeffs passed over
+        run = 0
+        while k <= last_new:
+            if hist[k]:
+                pending.append(abs(v[k]) & 1)
+            elif v[k] == 0:
+                run += 1
+            else:  # newly nonzero (|v| == 1): emit (run, s=1) + sign + pending
+                while run > 15:
+                    c, l2 = AC_ENC[0xF0]
+                    bw.write(c, l2)
+                    run -= 16
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                c, l2 = AC_ENC[(run << 4) | 1]
+                bw.write(c, l2)
+                bw.write(1 if v[k] > 0 else 0, 1)
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                run = 0
+            k += 1
+        if last_new < 63 or pending:
+            c, l2 = AC_ENC[0x00]  # EOB0: rest of band is corrections only
+            bw.write(c, l2)
+            for b in pending:
+                bw.write(b, 1)
+            for kk in range(k, 64):
+                if hist[kk]:
+                    bw.write(abs(v[kk]) & 1, 1)
+    bw.flush()
+    scan(bytes([0x00, 1, 63, 0x10]), bw.out)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_successive_approximation_refinement_scans():
+    """A 4-scan Ah/Al stream (DC first/refine + AC first/refine) must decode
+    bit-identically to the baseline stream of the same coefficients."""
+    rng = np.random.default_rng(3)
+    smooth = np.clip(
+        rng.integers(0, 256, (24, 40)).astype(float)
+        + np.linspace(0, 80, 40)[None, :], 0, 255).astype(np.uint8)
+    for img in (smooth, rng.integers(0, 256, (16, 24)).astype(np.uint8)):
+        base = decode_jpeg(encode_jpeg(img, quality=85))
+        sa = decode_jpeg(_sa_encode_gray(img, quality=85))
+        assert np.array_equal(base, sa)
