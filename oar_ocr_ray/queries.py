@@ -4734,6 +4734,368 @@ WHERE CAST(round(c_acctbal * 100) AS BIGINT) * avgbal.c > avgbal.s
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
+def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_3",
+                     nation_b: str = "NATION_8"):
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by ship year — supplier nation on the lineitem side, customer
+    nation on the orders side, cross pairs only.
+
+    Scale shape: supplier/customer/nation maps are gated broadcasts (the
+    q5 policy); BOTH fact streams pre-filter to the two nations BEFORE
+    the exchange (2/25 selectivity on each side), then meet co-partitioned
+    on hash(orderkey) where the join is a vectorized in-partition merge;
+    partial (supp, cust, year) sums reduce driver-side (<= 2 x 2 x years
+    rows). Revenue in exact 10^-4 dollars (rev_c4)."""
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
+    supp = _collect_broadcast(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _collect_broadcast(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _collect_broadcast(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"].map(nname)))
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"].map(nname)))
+    pair = {nation_a, nation_b}
+
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy()
+        d = df[(sd >= lo) & (sd < hi)]
+        sn = d["l_suppkey"].map(supp_nation)
+        keep = sn.isin(pair).to_numpy()
+        d, sn = d[keep], sn[keep]
+        k = d["l_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "key": k, "side": np.int8(1), "nat": np.asarray(sn, dtype=str),
+            "year": d["l_shipdate"].dt.year.to_numpy(dtype=np.int64),
+            "c4": rev_c4(d["l_extendedprice"], d["l_discount"]),
+            "bp": _bpart(k)})
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        cn = df["o_custkey"].map(cust_nation)
+        keep = cn.isin(pair).to_numpy()
+        d, cn = df[keep], cn[keep]
+        k = d["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "key": k, "side": np.int8(0), "nat": np.asarray(cn, dtype=str),
+            "year": np.int64(0), "c4": np.int64(0), "bp": _bpart(k)})
+
+    def vol(g: pd.DataFrame) -> pd.DataFrame:
+        o, l = g[g["side"] == 0], g[g["side"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame({"supp_nation": pd.Series(dtype=str),
+                                 "cust_nation": pd.Series(dtype=str),
+                                 "l_year": pd.Series(dtype="int64"),
+                                 "c4": pd.Series(dtype="int64")})
+        m = l[["key", "nat", "year", "c4"]].merge(
+            o[["key", "nat"]], on="key", suffixes=("", "_c"))
+        m = m[m["nat"].to_numpy() != m["nat_c"].to_numpy()]  # cross pairs
+        agg = m.groupby(["nat", "nat_c", "year"], sort=False, as_index=False)["c4"].sum()
+        return agg.rename(columns={"nat": "supp_nation", "nat_c": "cust_nation",
+                                   "year": "l_year"})
+
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate",
+                   "l_extendedprice", "l_discount"]).map_batches(
+        l_part, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        o_part, batch_format="pandas")
+    partials = orders.union(lines).groupby("bp").map_groups(
+        vol, batch_format="pandas")
+    df = _reduce_small(partials, ["supp_nation", "cust_nation", "l_year"], ["c4"])
+    if len(df) == 0:
+        return pd.DataFrame({"supp_nation": pd.Series(dtype=str),
+                             "cust_nation": pd.Series(dtype=str),
+                             "l_year": pd.Series(dtype="int64"),
+                             "revenue": pd.Series(dtype="float64")})
+    df["revenue"] = round_half_away(df.pop("c4").to_numpy(dtype=np.float64) / 10000.0, 2)
+    df["l_year"] = df["l_year"].astype("int64")
+    return df.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+
+
+Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       round(sum({_REV_SQL}) / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+    OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(sf_dir: str, region: str = "ASIA", ptype: str = "PROMO",
+                    nation: str = "NATION_12"):
+    """TPC-H Q8 (national market share): for orders placed 1995-1996 by
+    customers in `region` on parts of type `ptype`, the share of revenue
+    supplied by `nation`, per order year.
+
+    Scale shape: TWO sequential keyed exchanges, neither broadcastable —
+    (1) hash(partkey): the p_type semi-join (qualifying parts are
+    PART-cardinality, never ray.put); (2) hash(orderkey): the surviving
+    lines meet orders pre-filtered to the region (custkey -> region via
+    gated broadcast maps) and date window. Partial (year, supp_nation)
+    sums reduce driver-side (years x nations rows); the share division
+    runs on exact int sums."""
+    lo, hi = np.datetime64("1995-01-01"), np.datetime64("1997-01-01")
+    supp = _collect_broadcast(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _collect_broadcast(sf_dir, "nation",
+                             ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _collect_broadcast(sf_dir, "region", ["r_regionkey", "r_name"])
+    cust = _collect_broadcast(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nregion = dict(zip(nat["n_nationkey"],
+                       nat["n_regionkey"].map(dict(zip(reg["r_regionkey"],
+                                                       reg["r_name"])))))
+    supp_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"].map(nname)))
+    cust_nationkey = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+
+    # ---- exchange 1: lineitem semi-join part (p_type filter) on partkey
+    def p_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["p_type"].to_numpy() == ptype]
+        k = d["p_partkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"key": k, "side": np.int8(0),
+                             "okey": np.int64(0),
+                             "nat": np.full(len(k), "", dtype="U1"),
+                             "c4": np.int64(0), "bp": _bpart(k)})
+
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_partkey"].to_numpy(dtype=np.int64)
+        sn = df["l_suppkey"].map(supp_nation)
+        return pd.DataFrame({
+            "key": k, "side": np.int8(1),
+            "okey": df["l_orderkey"].to_numpy(dtype=np.int64),
+            "nat": np.asarray(sn, dtype=str),
+            "c4": rev_c4(df["l_extendedprice"], df["l_discount"]),
+            "bp": _bpart(k)})
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g["side"].to_numpy() == 1
+        good = set(g.loc[~lmask, "key"])
+        l = g[lmask]
+        d = l[l["key"].isin(good)]
+        k = d["okey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"key": k, "side": np.int8(1),
+                             "nat": np.asarray(d["nat"], dtype=str),
+                             "year": np.int64(0),
+                             "c4": d["c4"].to_numpy(dtype=np.int64),
+                             "bp": _bpart(k)})
+
+    # ---- exchange 2: surviving lines join orders (region + date) on orderkey
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["o_orderdate"].to_numpy()
+        d = df[(od >= lo) & (od < hi)]
+        nk = d["o_custkey"].map(cust_nationkey)
+        rg = nk.map(nregion)
+        d = d[(rg == region).to_numpy()]
+        k = d["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"key": k, "side": np.int8(0),
+                             "nat": np.full(len(k), "", dtype="U1"),
+                             "year": d["o_orderdate"].dt.year.to_numpy(dtype=np.int64),
+                             "c4": np.int64(0), "bp": _bpart(k)})
+
+    def join_year(g: pd.DataFrame) -> pd.DataFrame:
+        o, l = g[g["side"] == 0], g[g["side"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                                 "nat": pd.Series(dtype=str),
+                                 "c4": pd.Series(dtype="int64")})
+        m = l[["key", "nat", "c4"]].merge(o[["key", "year"]], on="key")
+        agg = m.groupby(["year", "nat"], sort=False, as_index=False)["c4"].sum()
+        return agg.rename(columns={"year": "o_year"})
+
+    part_keys = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        p_part, batch_format="pandas")
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_suppkey",
+                   "l_extendedprice", "l_discount"]).map_batches(
+        l_part, batch_format="pandas")
+    survivors = part_keys.union(lines).groupby("bp").map_groups(
+        semi, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        o_part, batch_format="pandas")
+    partials = orders.union(survivors).groupby("bp").map_groups(
+        join_year, batch_format="pandas")
+    df = _reduce_small(partials, ["o_year", "nat"], ["c4"])
+    if len(df) == 0:
+        return pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                             "mkt_share": pd.Series(dtype="float64")})
+    num = df[df["nat"] == nation].set_index("o_year")["c4"]
+    den = df.groupby("o_year")["c4"].sum()
+    share = (num.reindex(den.index, fill_value=0).to_numpy(dtype=np.float64)
+             / den.to_numpy(dtype=np.float64))
+    return pd.DataFrame({"o_year": den.index.to_numpy(dtype=np.int64),
+                         "mkt_share": round_half_away(share, 6)}
+                        ).sort_values("o_year").reset_index(drop=True)
+
+
+Q8_SQL = f"""
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         {_REV_SQL} AS c4, sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_12' THEN c4 ELSE 0 END) * 1.0
+             / sum(c4), 6) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 (top supplier, decorrelated max-of-aggregate): supplier(s)
+    with the maximum revenue over 1996-Q1, all ties returned.
+
+    Scale shape: per-batch per-suppkey combiner partials -> ONE exchange
+    bounded by SUPPLIER cardinality -> the max is a scalar Dataset
+    aggregate (never a driver sort of the whole table) -> the winner
+    filter streams the aggregated set and yields <= #ties rows, which
+    join supplier names via gated broadcast."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy()
+        d = df[(sd >= lo) & (sd < hi)]
+        g = pd.DataFrame({"l_suppkey": d["l_suppkey"].to_numpy(dtype=np.int64),
+                          "c4": rev_c4(d["l_extendedprice"], d["l_discount"])})
+        return g.groupby("l_suppkey", sort=False, as_index=False)["c4"].sum()
+
+    rev = (
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("l_suppkey").aggregate(Sum("c4", alias_name="c4"))
+    )
+    mx = rev.max("c4")
+    winners = rev.map_batches(
+        lambda df: df[df["c4"] == mx], batch_format="pandas").to_pandas()
+    supp = _collect_broadcast(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = round_half_away(
+        out["c4"].to_numpy(dtype=np.float64) / 10000.0, 2)
+    return out[["s_suppkey", "s_name", "total_revenue"]].sort_values(
+        "s_suppkey").reset_index(drop=True)
+
+
+Q15_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey, sum({_REV_SQL}) AS c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(c4 / 10000.0, 2) AS total_revenue
+FROM supplier JOIN r ON s_suppkey = r.l_suppkey
+WHERE c4 = (SELECT max(c4) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+_Q19_BRANCHES = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#5", 1, 15, 20, 30),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 (disjunctive predicates, adapted to this schema's part
+    columns: brand x size x quantity branch triples). Revenue from lines
+    whose (part brand, part size, line quantity) satisfies ANY branch.
+
+    Scale shape: BOTH sides prune before the hash(partkey) exchange —
+    part ships only rows inside some branch's (brand, size) envelope,
+    lineitem only rows inside the union quantity envelope; the branch
+    disjunction evaluates vectorized in-partition after the merge, and a
+    single int-c4 scalar leaves each partition."""
+    from ray.data.aggregate import Sum
+
+    qty_lo = min(b[3] for b in _Q19_BRANCHES)
+    qty_hi = max(b[4] for b in _Q19_BRANCHES)
+    brands = {b[0] for b in _Q19_BRANCHES}
+
+    def p_part(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df["p_size"].to_numpy(dtype=np.int64)
+        keep = np.zeros(len(df), dtype=bool)
+        br = df["p_brand"].to_numpy()
+        for b, slo, shi, _, _ in _Q19_BRANCHES:
+            keep |= (br == b) & (sz >= slo) & (sz <= shi)
+        d = df[keep]
+        k = d["p_partkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"key": k, "side": np.int8(0),
+                             "brand": np.asarray(d["p_brand"], dtype=str),
+                             "size": d["p_size"].to_numpy(dtype=np.int64),
+                             "qty": np.int64(0), "c4": np.int64(0),
+                             "bp": _bpart(k)})
+
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        m = (q >= qty_lo) & (q <= qty_hi)
+        d = df[m]
+        k = d["l_partkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"key": k, "side": np.int8(1),
+                             "brand": np.full(len(d), "", dtype="U1"),
+                             "size": np.int64(0), "qty": q[m],
+                             "c4": rev_c4(d["l_extendedprice"], d["l_discount"]),
+                             "bp": _bpart(k)})
+
+    def branch_sum(g: pd.DataFrame) -> pd.DataFrame:
+        p, l = g[g["side"] == 0], g[g["side"] == 1]
+        if len(p) == 0 or len(l) == 0:
+            return pd.DataFrame({"c4": pd.Series(dtype="int64")})
+        m = l[["key", "qty", "c4"]].merge(
+            p[["key", "brand", "size"]], on="key")
+        br = m["brand"].to_numpy()
+        sz = m["size"].to_numpy()
+        q = m["qty"].to_numpy()
+        keep = np.zeros(len(m), dtype=bool)
+        for b, slo, shi, qlo, qhi in _Q19_BRANCHES:
+            keep |= (br == b) & (sz >= slo) & (sz <= shi) & (q >= qlo) & (q <= qhi)
+        return pd.DataFrame({"c4": [int(m["c4"].to_numpy()[keep].sum())]})
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        p_part, batch_format="pandas")
+    lines = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice",
+                   "l_discount"]).map_batches(l_part, batch_format="pandas")
+    total = (
+        parts.union(lines).groupby("bp").map_groups(
+            branch_sum, batch_format="pandas")
+        .aggregate(Sum("c4", alias_name="c4"))
+    )
+    return pd.DataFrame({"revenue": [
+        round_half_away(float(total["c4"] or 0) / 10000.0, 2)]})
+
+
+Q19_SQL = f"""
+SELECT round(COALESCE(sum({_REV_SQL}), 0) / 10000.0, 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 15
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
 
 # ---------------------------------------------------------------------------
 # Registry
@@ -4814,6 +5176,10 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_idle_customer_balance": q22_idle_customer_balance,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "bigram_logprob_scores": bigram_logprob_scores,
     "ann_recall_eval": ann_recall_eval,
     "ann_pq_topk": ann_pq_topk,
@@ -4899,6 +5265,10 @@ ORACLE_SQL = {
     "q13_customer_distribution": Q13_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q22_idle_customer_balance": Q22_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
     "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,
     "ann_recall_eval": _ann_recall_sql(),
     "ann_pq_topk": ANN_PQ_SQL,
