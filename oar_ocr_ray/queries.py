@@ -5098,6 +5098,117 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training (functions/bpe.py) — distributed histogram pass,
+# vocabulary-bounded merge loop, broadcast-merges distributed encode
+# ---------------------------------------------------------------------------
+
+def _word_histogram(sf_dir: str):
+    """Distributed (word, n) histogram over documents.text — per-batch
+    value_counts partials, ONE coarse hash(word) exchange
+    (_vocab_combine). Output cardinality = distinct-word vocabulary,
+    bounded by language, not corpus size."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.strip().str.split()
+        vc = words.explode().dropna().value_counts()
+        vc = vc[vc.index != ""]
+        return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(dtype=np.int64)})
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(
+        partial, batch_format="pandas")
+    return _vocab_combine(ds, "word")
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 30):
+    """BPE iteration-0 statistics: top-k adjacent-character pair counts
+    weighted by word frequency — the quantity the first merge maximizes.
+
+    Scale shape: word histogram (one coarse exchange) -> vectorized
+    codepoint pair explode per vocabulary batch (functions/bpe.py, no
+    per-row Python in the corpus pass) -> second coarse exchange on the
+    pair key (alphabet^2-bounded) -> per-block top-k merge."""
+    from .functions.bpe import pair_explode
+
+    words = _word_histogram(sf_dir)
+    pairs = _vocab_combine(words.map_batches(
+        lambda df: pair_explode(df["word"], df["n"].to_numpy()),
+        batch_format="pandas"), "pair")
+    top = _topk_blocks(pairs, k, ["n", "pair"], [False, True])
+    return pd.DataFrame({
+        "left_sym": top["pair"].str[0].to_numpy(dtype=object),
+        "right_sym": top["pair"].str[1].to_numpy(dtype=object),
+        "cnt": top["n"].to_numpy(dtype=np.int64)})
+
+
+BPE_PAIR_COUNTS_SQL = r"""
+WITH words AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+    FROM documents) WHERE word <> ''
+  GROUP BY word
+)
+SELECT substring(word, CAST(i AS INT), 1) AS left_sym,
+       substring(word, CAST(i AS INT) + 1, 1) AS right_sym,
+       CAST(sum(n) AS BIGINT) AS cnt
+FROM words, unnest(range(1, length(word))) AS t(i)
+GROUP BY 1, 2 ORDER BY cnt DESC, left_sym, right_sym LIMIT 30
+"""
+
+
+def bpe_train_merges(sf_dir: str, num_merges: int = 40):
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016
+    trainer shape): the corpus-scale work is the distributed word
+    histogram; the merge loop runs driver-side over that bounded
+    histogram (O(vocabulary) per merge, independent of corpus size) and
+    refuses loudly past MAX_TRAIN_VOCAB — the same pruned-head broadcast
+    rule as the LM vocabularies. Deterministic at any parallelism: pair
+    ties break count DESC then (left, right) lexicographic.
+
+    Iterative (not SQL-expressible) — verified by pytest golden against
+    an independent naive trainer; the driver records a rows-only check."""
+    from .functions.bpe import train_merges
+
+    hist = _word_histogram(sf_dir).to_pandas()
+    return train_merges(hist, num_merges=num_merges)
+
+
+def bpe_token_counts(sf_dir: str, num_merges: int = 40):
+    """Per-source token totals under the learned BPE vocabulary — the
+    curation metric that says how a tokenizer's compression differs by
+    source. Train (distributed histogram + bounded loop), then encode
+    distributed: the merge table (num_merges entries) is broadcast by
+    closure capture, each batch factorizes its words so the merge loop
+    runs once per DISTINCT word (functions/bpe.py:apply_merges), and the
+    per-source partial sums meet in a tiny driver reduce."""
+    from .functions.bpe import apply_merges
+
+    merges = bpe_train_merges(sf_dir, num_merges=num_merges)
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.strip().str.split()
+        ex = words.explode().dropna()
+        ex = ex[ex != ""]
+        if len(ex) == 0:
+            return pd.DataFrame({"source": pd.Series(dtype=str),
+                                 "bpe_tokens": pd.Series(dtype="int64")})
+        toks = apply_merges(ex, ranks)
+        per_doc = pd.Series(toks, index=ex.index).groupby(level=0).sum()
+        src = df["source"].astype(str)
+        out = pd.DataFrame({"source": src,
+                            "bpe_tokens": per_doc.reindex(df.index, fill_value=0)
+                            .to_numpy(dtype=np.int64)})
+        return out.groupby("source", as_index=False, sort=False)["bpe_tokens"].sum()
+
+    partials = _read(sf_dir, "documents", ["text", "source"]).map_batches(
+        partial, batch_format="pandas")
+    out = _reduce_small(partials, ["source"], ["bpe_tokens"])
+    out["bpe_tokens"] = out["bpe_tokens"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5180,6 +5291,9 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "bpe_pair_counts": bpe_pair_counts,
+    "bpe_train_merges": bpe_train_merges,
+    "bpe_token_counts": bpe_token_counts,
     "bigram_logprob_scores": bigram_logprob_scores,
     "ann_recall_eval": ann_recall_eval,
     "ann_pq_topk": ann_pq_topk,
@@ -5269,6 +5383,7 @@ ORACLE_SQL = {
     "q8_market_share": Q8_SQL,
     "q15_top_supplier": Q15_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
+    "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,
     "ann_recall_eval": _ann_recall_sql(),
     "ann_pq_topk": ANN_PQ_SQL,
