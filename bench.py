@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "unimax_allocation",
     "dsir_importance_weights",
     "classifier_filter_scores",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q19_disjunctive_revenue",
+    "bpe_token_counts",
     # round-5: the production stage shape (det + rec session seams ON)
     "extract_flagship_seams",
 ]

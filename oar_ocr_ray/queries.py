@@ -5208,6 +5208,57 @@ def bpe_token_counts(sf_dir: str, num_merges: int = 40):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def chunk_documents(sf_dir: str, size: int = 128, stride: int = 96):
+    """RAG-style sliding-window chunking: each document explodes into
+    fixed-size character windows advancing by `stride` (overlap =
+    size - stride), the unit an embedding/indexing stage consumes.
+
+    Chunk count is the closed form max(1, ceil((len - overlap) / stride))
+    — every character is covered, the tail never emits a window fully
+    contained in its predecessor, and an empty/short text still yields
+    exactly one chunk (so no document silently disappears downstream).
+
+    Scale shape: a pure per-batch map, NO shuffle — the explode loop runs
+    once per chunk INDEX (bounded by the longest text in the batch, not
+    by rows) with vectorized str.slice across the batch. At 100 TB this
+    is embarrassingly parallel and the output streams straight into the
+    next stage or sink."""
+    overlap = size - stride
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        lens = text.str.len().to_numpy(dtype=np.int64)
+        n = np.maximum(1, np.ceil((lens - overlap) / stride)).astype(np.int64)
+        frames = []
+        for j in range(int(n.max()) if len(n) else 0):
+            sel = n > j
+            c = text[sel]
+            frames.append(pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy()[sel],
+                "chunk_id": np.int64(j),
+                "chunk": c.str.slice(j * stride, j * stride + size).to_numpy(
+                    dtype=object)}))
+        if not frames:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "chunk_id": pd.Series(dtype="int64"),
+                                 "chunk": pd.Series(dtype=str)})
+        return pd.concat(frames, ignore_index=True)
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+CHUNK_DOCUMENTS_SQL = """
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       substring(text, CAST(i * 96 + 1 AS INT), 128) AS chunk
+FROM documents,
+     unnest(range(0, greatest(1, CAST(ceil((length(text) - 32) / 96.0)
+                                      AS BIGINT)))) AS t(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5294,6 +5345,7 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train_merges": bpe_train_merges,
     "bpe_token_counts": bpe_token_counts,
+    "chunk_documents": chunk_documents,
     "bigram_logprob_scores": bigram_logprob_scores,
     "ann_recall_eval": ann_recall_eval,
     "ann_pq_topk": ann_pq_topk,
@@ -5384,6 +5436,7 @@ ORACLE_SQL = {
     "q15_top_supplier": Q15_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,
     "ann_recall_eval": _ann_recall_sql(),
     "ann_pq_topk": ANN_PQ_SQL,

@@ -215,3 +215,34 @@ def test_q19_branch_conjunctions(tmp_path):
     got = q19_disjunctive_revenue(d)
     assert_equal(got, oracle(d, Q19_SQL, ["lineitem", "part"]))
     assert float(got.revenue.iloc[0]) == 70.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_documents_boundaries(tmp_path):
+    """Chunk-count closed form: empty text -> one empty chunk, text ==
+    size -> one chunk, size+1 -> two overlapping chunks; full coverage
+    with stride overlap; oracle parity on the same store."""
+    from oar_ocr_ray.queries import CHUNK_DOCUMENTS_SQL, chunk_documents
+
+    texts = ["", "x" * 128, "y" * 129, "z" * 48, "w" * 300]
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts, "lang": "en", "source": "s0",
+        "n_chars": [len(t) for t in texts]})
+    d = tmp_path / "sf"
+    os.makedirs(d / "documents.parquet", exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df),
+                   d / "documents.parquet" / "part0.parquet")
+
+    got = chunk_documents(str(d))
+    per_doc = got.groupby("doc_id").size()
+    assert per_doc.tolist() == [1, 1, 2, 1, 3]
+    # coverage: concatenating chunk[0] + tails of overlaps rebuilds text
+    c129 = got[got.doc_id == 2]["chunk"].tolist()
+    assert c129[0] == "y" * 128 and c129[1] == "y" * 33
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = con.execute(CHUNK_DOCUMENTS_SQL).df()
+    assert got["chunk"].tolist() == want["chunk"].tolist()
+    assert got["doc_id"].tolist() == [int(x) for x in want["doc_id"]]
