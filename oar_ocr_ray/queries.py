@@ -5259,6 +5259,94 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def source_overlap_matrix(sf_dir: str, n: int = 3, n_parts: int = 512):
+    """Cross-source contamination matrix: for every source pair (a < b),
+    the number of DISTINCT word n-grams both sources contain — the audit
+    that says which corpus slices leak into each other (eval-set overlap,
+    mirrored crawls, boilerplate families) before mixing weights are
+    chosen.
+
+    Scale shape: the dup_ngram_spans explode (vectorized shifted-concat,
+    doc-boundary-valid) deduped to (source, gram) per batch -> ONE
+    hash(gram) coarse exchange -> in-partition global distinct + the
+    vectorized self-merge (minhash-bucket pattern; a gram lives wholly in
+    its partition, so pair counts are complete and partials sum) ->
+    driver reduce bounded by |sources|^2 rows. The registered oracle is
+    the n=3 instantiation."""
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype=str),
+                              "gram": pd.Series(dtype="object"),
+                              "part": pd.Series(dtype="int64")})
+        toks = _tokens(df["text"])
+        lens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total < n:
+            return empty
+        words = toks.explode().dropna().to_numpy(dtype=object)
+        doc_rep = np.repeat(df["doc_id"].to_numpy(), lens)
+        src_rep = np.repeat(df["source"].astype(str).to_numpy(), lens)
+        m = total - n + 1
+        grams = words[:m]
+        for i in range(1, n):
+            grams = grams + " " + words[i:m + i]
+        valid = doc_rep[:m] == doc_rep[n - 1:]
+        out = pd.DataFrame({"source": src_rep[:m][valid],
+                            "gram": grams[valid]}).drop_duplicates()
+        out["part"] = (pd.util.hash_array(out["gram"].to_numpy(dtype=object))
+                       % n_parts).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["gram", "source"])[["gram", "source"]]
+        mm = d.merge(d, on="gram")
+        mm = mm[mm["source_x"].to_numpy() < mm["source_y"].to_numpy()]
+        if len(mm) == 0:
+            return pd.DataFrame({"source_a": pd.Series(dtype=str),
+                                 "source_b": pd.Series(dtype=str),
+                                 "shared_grams": pd.Series(dtype="int64")})
+        vc = mm.groupby(["source_x", "source_y"], sort=False).size()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({"source_a": idx["source_x"].to_numpy(dtype=object),
+                             "source_b": idx["source_y"].to_numpy(dtype=object),
+                             "shared_grams": vc.to_numpy(dtype=np.int64)})
+
+    partials = (
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("part").map_groups(per_part, batch_format="pandas")
+    )
+    out = _reduce_small(partials, ["source_a", "source_b"], ["shared_grams"])
+    if len(out) == 0:
+        return pd.DataFrame({"source_a": pd.Series(dtype=str),
+                             "source_b": pd.Series(dtype=str),
+                             "shared_grams": pd.Series(dtype="int64")})
+    out["shared_grams"] = out["shared_grams"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SOURCE_OVERLAP_SQL = r"""
+WITH raw AS (
+  SELECT source, doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word,
+         generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS rawpos
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT source, doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+  FROM raw WHERE word <> ''
+), grams AS (
+  SELECT DISTINCT source,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 2) OVER w IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS shared_grams
+FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5346,6 +5434,7 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_token_counts": bpe_token_counts,
     "chunk_documents": chunk_documents,
+    "source_overlap_matrix": source_overlap_matrix,
     "bigram_logprob_scores": bigram_logprob_scores,
     "ann_recall_eval": ann_recall_eval,
     "ann_pq_topk": ann_pq_topk,
@@ -5437,6 +5526,7 @@ ORACLE_SQL = {
     "q19_disjunctive_revenue": Q19_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "bigram_logprob_scores": BIGRAM_LOGPROB_SQL,
     "ann_recall_eval": _ann_recall_sql(),
     "ann_pq_topk": ANN_PQ_SQL,

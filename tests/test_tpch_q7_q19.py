@@ -246,3 +246,38 @@ def test_chunk_documents_boundaries(tmp_path):
     want = con.execute(CHUNK_DOCUMENTS_SQL).df()
     assert got["chunk"].tolist() == want["chunk"].tolist()
     assert got["doc_id"].tolist() == [int(x) for x in want["doc_id"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_overlap_matrix(tmp_path):
+    """Shared DISTINCT 3-grams per source pair: repeats within a source
+    count once, grams never span documents, disjoint sources emit no
+    row."""
+    from oar_ocr_ray.queries import SOURCE_OVERLAP_SQL, source_overlap_matrix
+
+    texts = [
+        ("a", "the quick brown fox jumps"),       # grams incl 'the quick brown'
+        ("a", "the quick brown dog sits"),         # repeat gram within a
+        ("b", "the quick brown cat naps"),         # shares 'the quick brown'
+        ("b", "quick brown fox"),                  # shares 'quick brown fox' w/ a
+        ("c", "totally disjoint words here"),      # no overlap
+        ("a", "xx yy"),                            # too short for 3-grams
+    ]
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": [t for _, t in texts], "lang": "en",
+        "source": [s for s, _ in texts],
+        "n_chars": [len(t) for _, t in texts]})
+    d = tmp_path / "sf"
+    os.makedirs(d / "documents.parquet", exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df),
+                   d / "documents.parquet" / "part0.parquet")
+
+    got = source_overlap_matrix(str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = con.execute(SOURCE_OVERLAP_SQL).df()
+    assert_equal(got, want)
+    assert got.source_a.tolist() == ["a"] and got.source_b.tolist() == ["b"]
+    assert int(got.shared_grams.iloc[0]) == 2  # 'the quick brown', 'quick brown fox'
