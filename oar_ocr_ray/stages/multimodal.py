@@ -4,11 +4,11 @@ Image/audio/video payloads are `binary` columns with metadata columns; each
 transform is an actor-pool `map_batches` stage whose Ray-side plumbing
 (schema, batch size, actor signature, output layout) is real and tested.
 REAL decoders in this environment — all own pure-python/numpy code: PNG
-(png_codec), baseline JPEG (jpeg_codec), WebP lossless (webp_codec), PCM
-WAV (wav_codec), FLAC (flac_codec), MJPEG-AVI video (avi_codec), and
-image-based PDF (pdf_codec). Only lossy codecs (VP8/H.264/MP3/AAC) and
-text-PDF rasterization genuinely need external libs and raise a clearly
-marked NotImplementedError.
+(png_codec), baseline+progressive JPEG (jpeg_codec), WebP lossless
+(webp_codec), PCM + IMA-ADPCM WAV (wav_codec), FLAC (flac_codec),
+MJPEG-AVI video (avi_codec), and image-based PDF (pdf_codec). Only lossy
+codecs (VP8/H.264/MP3/AAC/MS-ADPCM) and text-PDF rasterization genuinely
+need external libs and raise a clearly marked NotImplementedError.
 
 Reference analogues: load_image_from_memory (/root/reference/src/utils/image.rs:65),
 resize processors (/root/reference/src/processors/resize_detection.rs:30-240),
@@ -220,8 +220,8 @@ class PdfRasterize:
 class AudioFeatures:
     """Actor: WAV payload rows -> per-clip acoustic features.
 
-    The audio modality's decode+featurize stage — REAL decode (PCM WAV is
-    a lossless container, `wav_codec.decode_wav`, no external lib), with
+    The audio modality's decode+featurize stage — REAL decode (PCM and
+    IMA-ADPCM WAV via `wav_codec.decode_wav`, no external lib), with
     vectorized numpy features: duration, RMS level, zero-crossing rate,
     peak — the deterministic stand-in for an audio-embedding forward pass
     with the same actor signature. FLAC payloads decode via the own

@@ -5,8 +5,15 @@ codec) and webp (env-gated), PCM WAV is a trivial lossless container, so
 the decode step is REAL with no external library — parse the RIFF header,
 locate the fmt/data chunks, and view the payload as int16 samples.
 
-Scope: PCM (format 1) 16-bit, mono or interleaved multi-channel.
-Compressed formats (ADPCM, float, mp3-in-wav) raise NotImplementedError.
+Scope: PCM (format 1) 8-bit and 16-bit, and IMA ADPCM (format 17,
+4-bit DVI/IMA per the 1992 IMA Digital Audio spec / RFC 3551 DVI4
+tables), mono or interleaved multi-channel. Other compressed formats
+(MS-ADPCM, float, mp3-in-wav) raise NotImplementedError.
+
+The ADPCM sample loop is sequential WITHIN a block but blocks are
+independent, so both decode and encode vectorize ACROSS blocks: one
+numpy pass per sample position operating on every block at once — the
+same blockwise-parallel shape the Ray stage exploits across files.
 """
 
 from __future__ import annotations
@@ -40,6 +47,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     rate = None
     ch = None
     bits = None
+    audio_fmt = None
+    block_align = None
     samples = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
@@ -48,17 +57,172 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
             audio_fmt, ch, rate = struct.unpack("<HHI", body[:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
-            if audio_fmt != 1:
+            if audio_fmt == 1:
+                if bits not in (8, 16):
+                    raise NotImplementedError(f"{bits}-bit PCM unsupported")
+            elif audio_fmt == 17:
+                if bits != 4:
+                    raise NotImplementedError(
+                        f"{bits}-bit IMA ADPCM unsupported (4-bit only)")
+            else:
                 raise NotImplementedError(f"non-PCM wav format {audio_fmt}")
-            if bits != 16:
-                raise NotImplementedError(f"{bits}-bit PCM unsupported")
         elif cid == b"data":
             if ch is None:
                 raise ValueError("data chunk before fmt")
-            arr = np.frombuffer(body[: (len(body) // (2 * ch)) * 2 * ch],
-                                dtype="<i2")
-            samples = arr.reshape(-1, ch)
+            if audio_fmt == 17:
+                samples = _adpcm_decode_blocks(body, ch, block_align)
+            elif bits == 8:
+                # 8-bit PCM is UNSIGNED; widen to int16 full scale
+                arr = np.frombuffer(body[: (len(body) // ch) * ch],
+                                    dtype=np.uint8)
+                samples = ((arr.astype(np.int16) - 128) << 8).reshape(-1, ch)
+            else:
+                arr = np.frombuffer(body[: (len(body) // (2 * ch)) * 2 * ch],
+                                    dtype="<i2")
+                samples = arr.reshape(-1, ch)
     if samples is None or rate is None:
         raise ValueError("truncated wav (missing fmt/data)")
     return samples, int(rate)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAVE format 17) — public step/index tables (IMA 1992;
+# reproduced in RFC 3551 §4.5.1 for DVI4)
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step_sample(nib, pred, idx):
+    """One IMA ADPCM update, vectorized over an array of states.
+
+    diff = (step * magnitude) / 4 computed with the standard
+    shift-and-add exactness: step/1 if bit2, step/2 if bit1, step/4 if
+    bit0, plus step/8 always."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    diff = diff + np.where(nib & 4, step, 0)
+    diff = diff + np.where(nib & 2, step >> 1, 0)
+    diff = diff + np.where(nib & 1, step >> 2, 0)
+    pred = np.where(nib & 8, pred - diff, pred + diff)
+    pred = np.clip(pred, -32768, 32767)
+    idx = np.clip(idx + _IMA_INDEX_ADJ[nib & 7], 0, 88)
+    return pred, idx
+
+
+def _adpcm_decode_blocks(body: bytes, ch: int, block_align: int) -> np.ndarray:
+    """Decode all complete IMA ADPCM blocks, vectorized across blocks.
+
+    Block layout (per the IMA WAV mapping): per channel a 4-byte header
+    (int16 initial predictor, uint8 step index, reserved), then 4-byte
+    data words interleaved by channel, each holding 8 nibbles
+    (low nibble first = earlier sample)."""
+    if block_align < 4 * ch + 4 * ch or block_align % (4 * ch):
+        raise ValueError(f"bad IMA block_align {block_align} for ch={ch}")
+    nblk = len(body) // block_align
+    if nblk == 0:
+        return np.zeros((0, ch), dtype=np.int16)
+    raw = np.frombuffer(body[:nblk * block_align], dtype=np.uint8)
+    raw = raw.reshape(nblk, block_align)
+    hdr = raw[:, :4 * ch].reshape(nblk, ch, 4)
+    pred = (hdr[:, :, 0].astype(np.int32)
+            | (hdr[:, :, 1].astype(np.int32) << 8))
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # int16
+    idx = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    data = raw[:, 4 * ch:]                       # (nblk, D)
+    # 4-byte words round-robin across channels: word w belongs to channel
+    # (w % ch); within a word 8 nibbles, low first
+    words = data.reshape(nblk, -1, ch, 4)        # (nblk, groups, ch, 4)
+    lo = words & 0x0F
+    hi = words >> 4
+    nibs = np.stack([lo, hi], axis=-1).reshape(nblk, words.shape[1], ch, 8)
+    nibs = nibs.transpose(0, 2, 1, 3).reshape(nblk, ch, -1)  # per-ch stream
+    spb = nibs.shape[2]                          # samples per block per ch
+    out = np.empty((nblk, ch, spb + 1), dtype=np.int16)
+    out[:, :, 0] = pred.astype(np.int16)         # header predictor = sample 0
+    for t in range(spb):
+        pred, idx = _ima_step_sample(nibs[:, :, t].astype(np.int64),
+                                     pred, idx)
+        out[:, :, t + 1] = pred.astype(np.int16)
+    # (nblk, ch, s) -> interleaved (nblk*s, ch)
+    return out.transpose(0, 2, 1).reshape(-1, ch)
+
+
+def encode_wav_adpcm(samples: np.ndarray, rate: int = 16000,
+                     samples_per_block: int = 505) -> bytes:
+    """(n,) or (n, ch) int16 -> RIFF/IMA-ADPCM (format 17) bytes.
+
+    samples_per_block counts PER-CHANNEL samples including the one stored
+    in the block header, so (samples_per_block - 1) must divide by 8.
+    The encoder greedily quantizes with the same shift-and-add update as
+    the decoder, vectorized across blocks."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    spb = samples_per_block
+    if (spb - 1) % 8:
+        raise ValueError("samples_per_block - 1 must be a multiple of 8")
+    block_align = 4 * ch + (spb - 1) // 2 * ch
+    # pad the tail block by repeating the last sample (standard practice)
+    nblk = max(1, -(-n // spb))
+    pad = nblk * spb - n
+    if pad:
+        tail = s[-1:] if n else np.zeros((1, ch), np.int16)
+        s = np.concatenate([s, np.repeat(tail, pad, axis=0)])
+    blocks = s.reshape(nblk, spb, ch).transpose(0, 2, 1)  # (nblk, ch, spb)
+    pred = blocks[:, :, 0].astype(np.int32)
+    # seed each block's step index near its mean |delta| (the header
+    # carries the index, so any seed is spec-conformant; seeding beats
+    # index-0 restarts by skipping the per-block adaptation ramp)
+    mean_d = np.abs(np.diff(blocks.astype(np.int32), axis=2)).mean(axis=2)
+    idx0 = np.clip(np.searchsorted(_IMA_STEPS, mean_d), 0, 88).astype(np.int32)
+    idx = idx0.copy()
+    nibs = np.empty((nblk, ch, spb - 1), dtype=np.uint8)
+    for t in range(spb - 1):
+        target = blocks[:, :, t + 1].astype(np.int32)
+        step = _IMA_STEPS[idx]
+        diff = target - pred
+        sign = (diff < 0).astype(np.int32) * 8
+        mag = np.abs(diff)
+        b2 = (mag >= step).astype(np.int32)
+        mag = mag - b2 * step
+        b1 = (mag >= (step >> 1)).astype(np.int32)
+        mag = mag - b1 * (step >> 1)
+        b0 = (mag >= (step >> 2)).astype(np.int32)
+        nib = sign | (b2 << 2) | (b1 << 1) | b0
+        nibs[:, :, t] = nib.astype(np.uint8)
+        pred, idx = _ima_step_sample(nib, pred, idx)
+    # pack: per channel groups of 8 nibbles -> 4 bytes, words round-robin
+    g = nibs.reshape(nblk, ch, -1, 8)
+    lo = g[..., 0::2]
+    hi = g[..., 1::2]
+    words = (lo | (hi << 4)).astype(np.uint8)     # (nblk, ch, groups, 4)
+    words = words.transpose(0, 2, 1, 3)           # (nblk, groups, ch, 4)
+    hdr = np.zeros((nblk, ch, 4), dtype=np.uint8)
+    p0 = blocks[:, :, 0].astype(np.int32) & 0xFFFF
+    hdr[:, :, 0] = p0 & 0xFF
+    hdr[:, :, 1] = p0 >> 8
+    hdr[:, :, 2] = idx0.astype(np.uint8)
+    payload = np.concatenate(
+        [hdr.reshape(nblk, -1), words.reshape(nblk, -1)], axis=1).tobytes()
+    byte_rate = rate * block_align // spb
+    fmt = struct.pack("<HHIIHHHH", 17, ch, rate, byte_rate, block_align,
+                      4, 2, spb)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
