@@ -5,10 +5,11 @@ transform is an actor-pool `map_batches` stage whose Ray-side plumbing
 (schema, batch size, actor signature, output layout) is real and tested.
 REAL decoders in this environment — all own pure-python/numpy code: PNG
 (png_codec), baseline+progressive JPEG (jpeg_codec), WebP lossless
-(webp_codec), PCM + IMA-ADPCM WAV (wav_codec), FLAC (flac_codec),
-MJPEG-AVI video (avi_codec), and image-based PDF (pdf_codec). Only lossy
-codecs (VP8/H.264/MP3/AAC/MS-ADPCM) and text-PDF rasterization genuinely
-need external libs and raise a clearly marked NotImplementedError.
+(webp_codec), WAV PCM/IMA-ADPCM/MS-ADPCM/G.711 (wav_codec), FLAC
+(flac_codec), MJPEG-AVI video (avi_codec), and image-based PDF
+(pdf_codec). Only lossy codecs (VP8/H.264/MP3/AAC) and text-PDF
+rasterization genuinely need external libs and raise a clearly marked
+NotImplementedError.
 
 Reference analogues: load_image_from_memory (/root/reference/src/utils/image.rs:65),
 resize processors (/root/reference/src/processors/resize_detection.rs:30-240),

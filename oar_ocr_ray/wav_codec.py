@@ -5,10 +5,11 @@ codec) and webp (env-gated), PCM WAV is a trivial lossless container, so
 the decode step is REAL with no external library — parse the RIFF header,
 locate the fmt/data chunks, and view the payload as int16 samples.
 
-Scope: PCM (format 1) 8-bit and 16-bit, and IMA ADPCM (format 17,
-4-bit DVI/IMA per the 1992 IMA Digital Audio spec / RFC 3551 DVI4
-tables), mono or interleaved multi-channel. Other compressed formats
-(MS-ADPCM, float, mp3-in-wav) raise NotImplementedError.
+Scope: PCM (format 1) 8-bit and 16-bit, MS-ADPCM (format 2), G.711
+A-law/mu-law (formats 6/7, ITU-T companding LUTs), and IMA ADPCM
+(format 17, 4-bit DVI/IMA per the 1992 IMA Digital Audio spec /
+RFC 3551 DVI4 tables), mono or interleaved multi-channel. Remaining
+formats (float PCM, mp3-in-wav) raise NotImplementedError.
 
 The ADPCM sample loop is sequential WITHIN a block but blocks are
 independent, so both decode and encode vectorize ACROSS blocks: one
@@ -66,6 +67,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 if bits != 4:
                     raise NotImplementedError(
                         f"{bits}-bit IMA ADPCM unsupported (4-bit only)")
+            elif audio_fmt in (6, 7):  # G.711 A-law / mu-law
+                if bits != 8:
+                    raise NotImplementedError(
+                        f"{bits}-bit G.711 unsupported (8-bit only)")
+            elif audio_fmt == 2:  # MS-ADPCM
+                if bits != 4:
+                    raise NotImplementedError(
+                        f"{bits}-bit MS-ADPCM unsupported (4-bit only)")
             else:
                 raise NotImplementedError(f"non-PCM wav format {audio_fmt}")
         elif cid == b"data":
@@ -73,6 +82,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("data chunk before fmt")
             if audio_fmt == 17:
                 samples = _adpcm_decode_blocks(body, ch, block_align)
+            elif audio_fmt == 2:
+                samples = _msadpcm_decode_blocks(body, ch, block_align)
+            elif audio_fmt in (6, 7):
+                arr = np.frombuffer(body[: (len(body) // ch) * ch],
+                                    dtype=np.uint8)
+                lut = _ALAW_LUT if audio_fmt == 6 else _MULAW_LUT
+                samples = lut[arr].reshape(-1, ch)
             elif bits == 8:
                 # 8-bit PCM is UNSIGNED; widen to int16 full scale
                 arr = np.frombuffer(body[: (len(body) // ch) * ch],
@@ -85,6 +101,57 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if samples is None or rate is None:
         raise ValueError("truncated wav (missing fmt/data)")
     return samples, int(rate)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (WAVE formats 7 / 6) — ITU-T G.711 companding,
+# the classic public segment/bias expansion (Sun g711.c semantics)
+# ---------------------------------------------------------------------------
+
+def _g711_luts():
+    u = np.arange(256, dtype=np.int32)
+    nu = (~u) & 0xFF
+    t = (((nu & 0xF) << 3) + 0x84) << ((nu >> 4) & 7)
+    mulaw = np.where(nu & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    a = u ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0xF) << 4
+    t = np.where(seg == 0, t + 8,
+                 (t + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return mulaw, alaw
+
+
+_MULAW_LUT, _ALAW_LUT = _g711_luts()
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int = 8000,
+                    law: str = "mu") -> bytes:
+    """(n,) or (n, ch) int16 -> RIFF G.711 bytes (format 7 mu / 6 A).
+
+    Encoding maps each sample to the NEAREST code of the decode
+    expansion (vectorized searchsorted over the sorted 256-entry LUT) —
+    at least as close as the canonical segment quantizer, and exactly
+    inverse to the decoder on its own outputs."""
+    lut = _MULAW_LUT if law == "mu" else _ALAW_LUT
+    fmt_tag = 7 if law == "mu" else 6
+    order = np.argsort(lut, kind="stable")
+    sorted_vals = lut[order].astype(np.int32)
+    mids = (sorted_vals[:-1] + sorted_vals[1:]) // 2
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    pos = np.searchsorted(mids, s.ravel().astype(np.int32), side="right")
+    codes = order[pos].astype(np.uint8)
+    payload = codes.tobytes()
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * ch, ch, 8)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 # ---------------------------------------------------------------------------
@@ -219,6 +286,153 @@ def encode_wav_adpcm(samples: np.ndarray, rate: int = 16000,
         [hdr.reshape(nblk, -1), words.reshape(nblk, -1)], axis=1).tobytes()
     byte_rate = rate * block_align // spb
     fmt = struct.pack("<HHIIHHHH", 17, ch, rate, byte_rate, block_align,
+                      4, 2, spb)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# ---------------------------------------------------------------------------
+# MS-ADPCM (WAVE format 2) — the Microsoft 4-bit predictor/delta scheme;
+# coefficient and adaption tables are the published standard constants
+# ---------------------------------------------------------------------------
+
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int64)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int64)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230], dtype=np.int64)
+
+
+def _msadpcm_decode_blocks(body: bytes, ch: int,
+                           block_align: int) -> np.ndarray:
+    """Decode all complete MS-ADPCM blocks, vectorized across blocks.
+
+    Block layout: per channel uint8 predictor index, then per channel
+    int16 idelta, sample1, sample2 (the header carries the first TWO
+    output samples, sample2 the older); data nibbles HIGH-first,
+    alternating channels."""
+    hdr_sz = 7 * ch
+    if block_align <= hdr_sz:
+        raise ValueError(f"bad MS-ADPCM block_align {block_align}")
+    nblk = len(body) // block_align
+    if nblk == 0:
+        return np.zeros((0, ch), dtype=np.int16)
+    raw = np.frombuffer(body[:nblk * block_align], dtype=np.uint8)
+    raw = raw.reshape(nblk, block_align)
+    pred_idx = raw[:, :ch].astype(np.int64)
+    if pred_idx.max() > 6:
+        raise ValueError("MS-ADPCM predictor index out of range")
+
+    def _i16(off):
+        lo = raw[:, off:off + 2 * ch:2].astype(np.int64)
+        hi = raw[:, off + 1:off + 2 * ch:2].astype(np.int64)
+        v = lo | (hi << 8)
+        return np.where(v >= 0x8000, v - 0x10000, v)
+
+    idelta = _i16(ch)
+    samp1 = _i16(3 * ch)
+    samp2 = _i16(5 * ch)
+    c1 = _MS_COEF1[pred_idx]
+    c2 = _MS_COEF2[pred_idx]
+    data = raw[:, hdr_sz:]
+    nibs = np.stack([data >> 4, data & 0x0F], axis=-1).reshape(nblk, -1)
+    # nibble t belongs to channel (t % ch); per-channel streams:
+    total = nibs.shape[1] // ch * ch
+    per_ch = nibs[:, :total].reshape(nblk, -1, ch)   # (nblk, T, ch)
+    T = per_ch.shape[1]
+    out = np.empty((nblk, T + 2, ch), dtype=np.int16)
+    out[:, 0, :] = samp2.astype(np.int16)
+    out[:, 1, :] = samp1.astype(np.int16)
+    for t in range(T):
+        nib = per_ch[:, t, :].astype(np.int64)
+        signed = np.where(nib >= 8, nib - 16, nib)
+        pred = (samp1 * c1 + samp2 * c2) >> 8
+        s = np.clip(pred + idelta * signed, -32768, 32767)
+        out[:, t + 2, :] = s.astype(np.int16)
+        samp2, samp1 = samp1, s
+        idelta = np.maximum(16, (_MS_ADAPT[nib] * idelta) >> 8)
+    return out.reshape(-1, ch)
+
+
+def encode_wav_msadpcm(samples: np.ndarray, rate: int = 16000,
+                       samples_per_block: int = 500) -> bytes:
+    """(n,) or (n, ch) int16 -> RIFF MS-ADPCM (format 2) bytes.
+
+    Per block the encoder TRIES all seven published predictors
+    (vectorized across blocks), seeds idelta from the mean prediction
+    residual, greedily quantizes, and keeps the predictor with the least
+    squared error — the standard reference-encoder strategy."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    spb = samples_per_block
+    if (spb - 2) % 2:
+        raise ValueError("samples_per_block must be even")
+    block_align = 7 * ch + (spb - 2) // 2 * ch
+    nblk = max(1, -(-n // spb))
+    pad = nblk * spb - n
+    if pad:
+        tail = s[-1:] if n else np.zeros((1, ch), np.int16)
+        s = np.concatenate([s, np.repeat(tail, pad, axis=0)])
+    blocks = s.reshape(nblk, spb, ch).astype(np.int64)   # (nblk, spb, ch)
+    T = spb - 2
+    best_err = None
+    best = None
+    for p in range(7):
+        c1, c2 = int(_MS_COEF1[p]), int(_MS_COEF2[p])
+        samp2 = blocks[:, 0, :].copy()
+        samp1 = blocks[:, 1, :].copy()
+        # seed idelta from the mean |prediction residual| (clamped >= 16)
+        preds = (blocks[:, 1:-1, :] * c1 + blocks[:, :-2, :] * c2) >> 8
+        resid = np.abs(blocks[:, 2:, :] - preds)
+        idelta = np.maximum(16, (resid.mean(axis=1)).astype(np.int64) >> 2)
+        id0 = idelta.copy()
+        nibs = np.empty((nblk, T, ch), dtype=np.uint8)
+        err = np.zeros((nblk, ch), dtype=np.float64)
+        for t in range(T):
+            target = blocks[:, t + 2, :]
+            pred = (samp1 * c1 + samp2 * c2) >> 8
+            q = np.clip((target - pred + (idelta >> 1) * np.sign(target - pred))
+                        // np.maximum(idelta, 1), -8, 7)
+            nib = (q & 0xF).astype(np.uint8)
+            nibs[:, t, :] = nib
+            dec = np.clip(pred + idelta * q, -32768, 32767)
+            err += (dec - target).astype(np.float64) ** 2
+            samp2, samp1 = samp1, dec
+            idelta = np.maximum(16, (_MS_ADAPT[nib] * idelta) >> 8)
+        err_b = err.sum(axis=1)
+        if best_err is None:
+            best_err = err_b
+            best = (np.full(nblk, p, np.uint8), id0, nibs)
+        else:
+            better = err_b < best_err
+            best_err = np.where(better, err_b, best_err)
+            bp, bid, bn = best
+            bp = np.where(better, p, bp).astype(np.uint8)
+            bid = np.where(better[:, None], id0, bid)
+            bn = np.where(better[:, None, None], nibs, bn)
+            best = (bp, bid, bn)
+    bp, bid, bn = best
+    hdr = np.empty((nblk, 7 * ch), dtype=np.uint8)
+    hdr[:, :ch] = bp[:, None]
+
+    def _put_i16(off, vals):
+        v = vals.astype(np.int64) & 0xFFFF
+        hdr[:, off:off + 2 * ch:2] = (v & 0xFF).astype(np.uint8)
+        hdr[:, off + 1:off + 2 * ch:2] = (v >> 8).astype(np.uint8)
+
+    _put_i16(ch, bid)
+    _put_i16(3 * ch, blocks[:, 1, :])
+    _put_i16(5 * ch, blocks[:, 0, :])
+    flat = bn.reshape(nblk, -1)                    # channel-alternating
+    packed = ((flat[:, 0::2] << 4) | flat[:, 1::2]).astype(np.uint8)
+    payload = np.concatenate([hdr, packed], axis=1).tobytes()
+    byte_rate = rate * block_align // spb
+    fmt = struct.pack("<HHIIHHHH", 2, ch, rate, byte_rate, block_align,
                       4, 2, spb)
     chunks = (
         b"WAVE"

@@ -1,4 +1,5 @@
-"""IMA ADPCM (WAV format 17) and 8-bit PCM: the blockwise-vectorized
+"""WAV compressed formats — IMA ADPCM (17), MS-ADPCM (2), G.711
+mu-law/A-law (7/6) and 8-bit PCM: each blockwise-vectorized
 decoder verified bit-exact against an INDEPENDENT per-sample reference
 decoder (straight from the IMA 1992 / RFC 3551 DVI4 tables), roundtrip
 SNR, tail padding, and the honest gates for still-unsupported formats."""
@@ -124,7 +125,7 @@ def test_8bit_pcm_decodes():
 def test_unsupported_formats_still_gate():
     from oar_ocr_ray.wav_codec import decode_wav
 
-    for tag, bits in ((2, 4), (3, 32)):  # MS-ADPCM, float
+    for tag, bits in ((85, 0), (3, 32)):  # mp3-in-wav, float
         fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 2, bits)
         wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -138,3 +139,92 @@ def test_block_align_validation():
 
     with pytest.raises(ValueError, match="multiple of 8"):
         encode_wav_adpcm(np.zeros(10, np.int16), samples_per_block=10)
+
+
+# ---- MS-ADPCM (format 2): independent per-sample reference decoder ----
+
+MS_C1 = [256, 512, 0, 192, 240, 460, 392]
+MS_C2 = [0, -256, 0, 64, 0, -208, -232]
+MS_AD = [230, 230, 230, 230, 307, 409, 512, 614,
+         768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def naive_ms_decode(body, ch, ba):
+    out = []
+    for boff in range(0, len(body) // ba * ba, ba):
+        blk = body[boff:boff + ba]
+        pi = [blk[c] for c in range(ch)]
+        def i16(off, c):
+            return int.from_bytes(blk[off + 2 * c:off + 2 * c + 2],
+                                  "little", signed=True)
+        idelta = [i16(ch, c) for c in range(ch)]
+        s1 = [i16(3 * ch, c) for c in range(ch)]
+        s2 = [i16(5 * ch, c) for c in range(ch)]
+        chans = [[s2[c], s1[c]] for c in range(ch)]
+        nibs = []
+        for b in blk[7 * ch:]:
+            nibs.append(b >> 4)
+            nibs.append(b & 0xF)
+        for t, nib in enumerate(nibs[:len(nibs) // ch * ch]):
+            c = t % ch
+            signed = nib - 16 if nib >= 8 else nib
+            pred = (s1[c] * MS_C1[pi[c]] + s2[c] * MS_C2[pi[c]]) >> 8
+            v = max(-32768, min(32767, pred + idelta[c] * signed))
+            chans[c].append(v)
+            s2[c], s1[c] = s1[c], v
+            idelta[c] = max(16, (MS_AD[nib] * idelta[c]) >> 8)
+        n = min(len(x) for x in chans)
+        for t in range(n):
+            out.append([chans[c][t] for c in range(ch)])
+    return np.array(out, dtype=np.int16)
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_msadpcm_decoder_matches_reference(ch):
+    from oar_ocr_ray.wav_codec import decode_wav, encode_wav_msadpcm
+
+    s = _sig(500 * 3, seed=3)
+    x = s if ch == 1 else np.stack([s, np.roll(s, 11)], axis=1)
+    enc = encode_wav_msadpcm(x, 16000)
+    dec, rate = decode_wav(enc)
+    assert rate == 16000
+    body, ba = _data_chunk(enc)
+    assert np.array_equal(dec, naive_ms_decode(body, ch, ba))
+    x2 = x if x.ndim == 2 else x[:, None]
+    err = dec[:len(x2)].astype(np.float64) - x2.astype(np.float64)
+    snr = 10 * np.log10((x2.astype(np.float64) ** 2).mean()
+                        / (err ** 2).mean())
+    assert snr > 22, snr
+
+
+def test_g711_known_values_and_roundtrip():
+    from oar_ocr_ray.wav_codec import (_ALAW_LUT, _MULAW_LUT, decode_wav,
+                                       encode_wav_g711)
+
+    # ITU-T G.711 extremes (Sun g711.c expansion)
+    assert _MULAW_LUT[0x80] == 32124 and _MULAW_LUT[0x00] == -32124
+    assert _MULAW_LUT[0xFF] == 0 and _MULAW_LUT[0x7F] == 0
+    assert int(_ALAW_LUT.max()) == 32256 and int(_ALAW_LUT.min()) == -32256
+    for lut, law in ((_MULAW_LUT, "mu"), (_ALAW_LUT, "a")):
+        dec, rate = decode_wav(encode_wav_g711(lut.astype(np.int16), 8000,
+                                               law=law))
+        assert rate == 8000
+        assert np.array_equal(dec[:, 0], lut)   # exact on decoder outputs
+    s = _sig(4000, seed=5)
+    for law in ("mu", "a"):
+        dec, _ = decode_wav(encode_wav_g711(s, 8000, law=law))
+        err = dec[:, 0].astype(np.float64) - s.astype(np.float64)
+        snr = 10 * np.log10((s.astype(np.float64) ** 2).mean()
+                            / (err ** 2).mean())
+        assert snr > 30, (law, snr)
+
+
+def test_float_wav_still_gates():
+    from oar_ocr_ray.wav_codec import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav)
