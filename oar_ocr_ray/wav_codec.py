@@ -5,11 +5,12 @@ codec) and webp (env-gated), PCM WAV is a trivial lossless container, so
 the decode step is REAL with no external library — parse the RIFF header,
 locate the fmt/data chunks, and view the payload as int16 samples.
 
-Scope: PCM (format 1) 8-bit and 16-bit, MS-ADPCM (format 2), G.711
+Scope: PCM (format 1) 8/16/24/32-bit, IEEE float PCM (format 3,
+32/64-bit), MS-ADPCM (format 2), G.711
 A-law/mu-law (formats 6/7, ITU-T companding LUTs), and IMA ADPCM
 (format 17, 4-bit DVI/IMA per the 1992 IMA Digital Audio spec /
 RFC 3551 DVI4 tables), mono or interleaved multi-channel. Remaining
-formats (float PCM, mp3-in-wav) raise NotImplementedError.
+formats (mp3-in-wav, WAVE_FORMAT_EXTENSIBLE) raise NotImplementedError.
 
 The ADPCM sample loop is sequential WITHIN a block but blocks are
 independent, so both decode and encode vectorize ACROSS blocks: one
@@ -61,8 +62,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
             if audio_fmt == 1:
-                if bits not in (8, 16):
+                if bits not in (8, 16, 24, 32):
                     raise NotImplementedError(f"{bits}-bit PCM unsupported")
+            elif audio_fmt == 3:  # IEEE float PCM
+                if bits not in (32, 64):
+                    raise NotImplementedError(
+                        f"{bits}-bit float PCM unsupported")
             elif audio_fmt == 17:
                 if bits != 4:
                     raise NotImplementedError(
@@ -89,11 +94,31 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                                     dtype=np.uint8)
                 lut = _ALAW_LUT if audio_fmt == 6 else _MULAW_LUT
                 samples = lut[arr].reshape(-1, ch)
+            elif audio_fmt == 3:
+                w = bits // 8
+                arr = np.frombuffer(
+                    body[: (len(body) // (w * ch)) * w * ch],
+                    dtype="<f4" if bits == 32 else "<f8")
+                samples = np.clip(np.rint(arr * 32767.0), -32768,
+                                  32767).astype(np.int16).reshape(-1, ch)
             elif bits == 8:
                 # 8-bit PCM is UNSIGNED; widen to int16 full scale
                 arr = np.frombuffer(body[: (len(body) // ch) * ch],
                                     dtype=np.uint8)
                 samples = ((arr.astype(np.int16) - 128) << 8).reshape(-1, ch)
+            elif bits == 24:
+                # 3-byte little-endian signed; keep the top 16 bits
+                n3 = (len(body) // (3 * ch)) * 3 * ch
+                b3 = np.frombuffer(body[:n3], dtype=np.uint8).reshape(-1, 3)
+                v = (b3[:, 0].astype(np.int32)
+                     | (b3[:, 1].astype(np.int32) << 8)
+                     | (b3[:, 2].astype(np.int32) << 16))
+                v = np.where(v >= 0x800000, v - 0x1000000, v)
+                samples = (v >> 8).astype(np.int16).reshape(-1, ch)
+            elif bits == 32:
+                arr = np.frombuffer(
+                    body[: (len(body) // (4 * ch)) * 4 * ch], dtype="<i4")
+                samples = (arr >> 16).astype(np.int16).reshape(-1, ch)
             else:
                 arr = np.frombuffer(body[: (len(body) // (2 * ch)) * 2 * ch],
                                     dtype="<i2")

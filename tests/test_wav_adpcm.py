@@ -125,7 +125,7 @@ def test_8bit_pcm_decodes():
 def test_unsupported_formats_still_gate():
     from oar_ocr_ray.wav_codec import decode_wav
 
-    for tag, bits in ((85, 0), (3, 32)):  # mp3-in-wav, float
+    for tag, bits in ((85, 0), (65534, 16)):  # mp3-in-wav, extensible
         fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 2, bits)
         wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -219,12 +219,37 @@ def test_g711_known_values_and_roundtrip():
         assert snr > 30, (law, snr)
 
 
-def test_float_wav_still_gates():
+def _wav(tag, bits, payload, ch=1, rate=8000):
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ch * max(bits, 8) // 8,
+                      ch * max(bits, 8) // 8, bits)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def test_wide_pcm_and_float_decode():
     from oar_ocr_ray.wav_codec import decode_wav
 
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
-    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
-           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-           + b"data" + struct.pack("<I", 0))
+    # float32: full scale maps to int16 full scale
+    f32 = np.array([0.0, 1.0, -1.0, 0.5], dtype="<f4")
+    dec, _ = decode_wav(_wav(3, 32, f32.tobytes()))
+    assert dec[:, 0].tolist() == [0, 32767, -32767, 16384]
+    # float64
+    dec, _ = decode_wav(_wav(3, 64, f32.astype("<f8").tobytes()))
+    assert dec[:, 0].tolist() == [0, 32767, -32767, 16384]
+    # 24-bit: top 16 bits survive, sign extends
+    v24 = [0x000100, 0x7FFFFF, 0x800000, 0xFFFFFF]  # 1<<8, max, min, -1
+    raw = b"".join(x.to_bytes(3, "little") for x in v24)
+    dec, _ = decode_wav(_wav(1, 24, raw))
+    assert dec[:, 0].tolist() == [1, 32767, -32768, -1]
+    # 32-bit int: top 16 bits
+    i32 = np.array([1 << 16, (1 << 31) - 1, -(1 << 31), -65536], dtype="<i4")
+    dec, _ = decode_wav(_wav(1, 32, i32.tobytes()))
+    assert dec[:, 0].tolist() == [1, 32767, -32768, -1]
+
+
+def test_mp3_in_wav_still_gates():
+    from oar_ocr_ray.wav_codec import decode_wav
+
     with pytest.raises(NotImplementedError):
-        decode_wav(wav)
+        decode_wav(_wav(85, 0, b""))
