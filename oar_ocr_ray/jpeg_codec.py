@@ -683,12 +683,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             i = 0
             while i < len(seg):
                 pq_tq = seg[i]
-                if pq_tq >> 4 != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[ZIGZAG] = np.frombuffer(seg[i + 1:i + 65], dtype=np.uint8)
-                quant[pq_tq & 0xF] = tbl
-                i += 65
+                if pq_tq >> 4:  # Pq=1: 16-bit big-endian entries (T.81 B.2.4.1)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        seg[i + 1:i + 129], dtype=">u2").astype(np.int64)
+                    quant[pq_tq & 0xF] = tbl
+                    i += 129
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(seg[i + 1:i + 65],
+                                                dtype=np.uint8)
+                    quant[pq_tq & 0xF] = tbl
+                    i += 65
         elif m == 0xC4:
             i = 0
             while i < len(seg):

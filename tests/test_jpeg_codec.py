@@ -348,3 +348,37 @@ def test_successive_approximation_refinement_scans():
         base = decode_jpeg(encode_jpeg(img, quality=85))
         sa = decode_jpeg(_sa_encode_gray(img, quality=85))
         assert np.array_equal(base, sa)
+
+
+def test_16bit_quant_tables_decode():
+    """Pq=1 DQT segments (16-bit big-endian entries, T.81 B.2.4.1) decode
+    identically to the same values stored 8-bit."""
+    import numpy as np
+
+    from oar_ocr_ray.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (48, 64)).astype(np.uint8)
+    data = bytes(encode_jpeg(img))
+    out = bytearray(data[:2])
+    pos = 2
+    while pos < len(data):
+        m = data[pos + 1]
+        if m in (0xD9, 0xDA):
+            out += data[pos:]
+            break
+        seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
+        seg = data[pos + 4:pos + 2 + seglen]
+        if m == 0xDB:
+            new = bytearray()
+            i = 0
+            while i < len(seg):
+                new.append(0x10 | (seg[i] & 0xF))
+                for b in seg[i + 1:i + 65]:
+                    new += int(b).to_bytes(2, "big")
+                i += 65
+            out += b"\xff\xdb" + (len(new) + 2).to_bytes(2, "big") + new
+        else:
+            out += data[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+    assert np.array_equal(decode_jpeg(data), decode_jpeg(bytes(out)))
