@@ -4,7 +4,7 @@ Unstubs the compressed-audio gate the same way webp_codec unstubbed
 images: FLAC is lossless, so the decode is exact and verifiable against
 the STREAMINFO MD5 of the raw samples.
 
-Decoder: full subset needed for real 16-bit files — constant / verbatim /
+Decoder: full subset needed for real 8/16/24-bit files — constant / verbatim /
 fixed(0-4) / LPC subframes, rice + rice2 residual methods with arbitrary
 partition orders and the raw-bits escape, wasted bits, all four channel
 assignments (independent, left/side, right/side, mid/side), UTF-8-coded
@@ -438,7 +438,7 @@ def _write_frame(frame_idx: int, block: np.ndarray, bps: int) -> bytes:
     bw.write(_BS_CODE_16BIT, 4)
     bw.write(_RATE_FROM_STREAMINFO, 4)
     bw.write(nch - 1, 4)  # independent channels
-    bw.write(_SS_16, 3)
+    bw.write({8: 1, 16: _SS_16, 24: 6}[bps], 3)
     bw.write(0, 1)
     _write_utf8_num(bw, frame_idx)
     bw.write(blocksize - 1, 16)
@@ -456,30 +456,47 @@ def _write_frame(frame_idx: int, block: np.ndarray, bps: int) -> bytes:
 # top level
 
 
-def encode_flac(samples: np.ndarray, rate: int) -> bytes:
-    """(N, C) int16 samples -> FLAC bytes (16-bit, fixed 4096 frames)."""
+def _md5_bytes(x: np.ndarray, bps: int) -> bytes:
+    """FLAC's MD5 runs over the raw little-endian samples at stream bps."""
+    if bps == 8:
+        return x.astype(np.int8).tobytes()
+    if bps == 16:
+        return x.astype("<i2").tobytes()
+    return x.astype("<i4").view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+
+
+def encode_flac(samples: np.ndarray, rate: int, bps: int = 16) -> bytes:
+    """(N, C) int samples -> FLAC bytes (fixed 4096 frames).
+
+    bps selects the stream sample size (8 / 16 / 24); input values must
+    fit the chosen width (int16 input for 8/16, int32 for 24)."""
     x = np.asarray(samples)
     if x.ndim == 1:
         x = x[:, None]
-    if x.dtype != np.int16:
-        raise ValueError("16-bit samples only")
+    if bps not in (8, 16, 24):
+        raise NotImplementedError(f"{bps}-bit FLAC unsupported")
+    if bps == 16 and x.dtype != np.int16:
+        raise ValueError("16-bit streams need int16 samples")
+    lim = 1 << (bps - 1)
+    if (x.astype(np.int64) >= lim).any() or (x.astype(np.int64) < -lim).any():
+        raise ValueError(f"samples out of {bps}-bit range")
     n, nch = x.shape
     if not 1 <= nch <= 8:
         raise ValueError("1..8 channels")
     if n == 0:
         raise ValueError("FLAC needs at least one sample")
-    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+    md5 = hashlib.md5(_md5_bytes(x, bps)).digest()
     streaminfo = (
         struct.pack(">HH", _BLOCKSIZE, _BLOCKSIZE)
         + b"\x00\x00\x00" * 2  # min/max frame size unknown
-        + ((rate << 44) | ((nch - 1) << 41) | ((16 - 1) << 36) | n).to_bytes(8, "big")
+        + ((rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | n).to_bytes(8, "big")
         + md5
     )
     out = bytearray(b"fLaC")
     out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big")  # last block
     out += streaminfo
     for f, start in enumerate(range(0, n, _BLOCKSIZE)):
-        out += _write_frame(f, x[start:start + _BLOCKSIZE], 16)
+        out += _write_frame(f, x[start:start + _BLOCKSIZE], bps)
     return bytes(out)
 
 
@@ -512,8 +529,9 @@ def decode_flac(data: bytes, verify_md5: bool = True):
             break
     if streaminfo is None:
         raise ValueError("FLAC: missing STREAMINFO")
-    if streaminfo["bps"] != 16:
-        raise NotImplementedError("only 16-bit FLAC implemented here")
+    if streaminfo["bps"] not in (8, 16, 24):
+        raise NotImplementedError(
+            f"{streaminfo['bps']}-bit FLAC unsupported (8/16/24 only)")
     br = _BitReader(data, pos * 8)
     frames = []
     got = 0
@@ -525,10 +543,18 @@ def decode_flac(data: bytes, verify_md5: bool = True):
     x = np.concatenate(frames, axis=0) if frames else np.zeros((0, 1), np.int64)
     if total:
         x = x[:total]
-    if (x > 32767).any() or (x < -32768).any():
-        raise ValueError("FLAC: sample out of 16-bit range")
-    x16 = x.astype(np.int16)
+    bps = streaminfo["bps"]
+    lim = 1 << (bps - 1)
+    if (x >= lim).any() or (x < -lim).any():
+        raise ValueError(f"FLAC: sample out of {bps}-bit range")
     if verify_md5 and streaminfo["md5"] != b"\x00" * 16:
-        if hashlib.md5(x16.astype("<i2").tobytes()).digest() != streaminfo["md5"]:
+        if hashlib.md5(_md5_bytes(x, bps)).digest() != streaminfo["md5"]:
             raise ValueError("FLAC: decoded-sample MD5 mismatch")
+    # widen/narrow to the pipeline's int16 surface
+    if bps == 8:
+        x16 = (x << 8).astype(np.int16)
+    elif bps == 24:
+        x16 = (x >> 8).astype(np.int16)
+    else:
+        x16 = x.astype(np.int16)
     return x16, streaminfo["rate"]

@@ -15,7 +15,7 @@ Scope (documented, verified in tests/test_jpeg_codec.py):
     spectral-selection two-scan stream (DC scan + full-band AC scans);
   - decode: baseline sequential AND progressive (SOF2: spectral
     selection + successive approximation, incl. EOBn run coding and
-    AC/DC refinement scans), 8-bit quant tables, interleaved and
+    AC/DC refinement scans), 8- and 16-bit quant tables, interleaved and
     single-component scans with arbitrary sampling factors (4:4:4 /
     4:2:0 / 4:2:2), 1- or 3-component, DRI/RSTn restart markers;
     nearest-neighbor chroma upsampling. 12-bit / arithmetic / lossless

@@ -259,9 +259,9 @@ def test_errors():
         encode_flac(np.zeros((0, 1), np.int16), 8000)
     with pytest.raises(ValueError):
         encode_flac(np.zeros(10, np.float32), 8000)
-    # 24-bit STREAMINFO -> honest NotImplementedError
+    # 32-bit STREAMINFO -> honest NotImplementedError (8/16/24 supported)
     si = (struct.pack(">HH", 4096, 4096) + b"\x00" * 6
-          + ((8000 << 44) | (0 << 41) | (23 << 36) | 10).to_bytes(8, "big")
+          + ((8000 << 44) | (0 << 41) | (31 << 36) | 10).to_bytes(8, "big")
           + b"\x00" * 16)
     data = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
     with pytest.raises(NotImplementedError):
@@ -300,3 +300,18 @@ def test_audio_features_flac(ray_session):
     # FLAC and WAV of the same samples must featurize identically
     for k in ("duration_s", "rms", "zero_crossing_rate", "peak"):
         assert abs(rows[1][k] - rows[2][k]) < 1e-12
+
+
+def test_8_and_24_bit_roundtrip():
+    """bps-parametric streams: 8-bit widens to int16<<8, 24-bit keeps the
+    top 16 bits; MD5 verifies over the raw stream-width samples."""
+    rng = np.random.default_rng(3)
+    s8 = rng.integers(-128, 128, (5000, 2)).astype(np.int16)
+    dec, rate = decode_flac(encode_flac(s8, 16000, bps=8))
+    assert rate == 16000
+    assert np.array_equal(dec, (s8 << 8).astype(np.int16))
+    s24 = rng.integers(-(1 << 23), 1 << 23, (5000, 1)).astype(np.int32)
+    dec, _ = decode_flac(encode_flac(s24, 44100, bps=24))
+    assert np.array_equal(dec[:, 0], (s24[:, 0] >> 8).astype(np.int16))
+    with pytest.raises(ValueError, match="8-bit range"):
+        encode_flac(np.array([200], np.int16), 8000, bps=8)
