@@ -253,3 +253,43 @@ def test_mp3_in_wav_still_gates():
 
     with pytest.raises(NotImplementedError):
         decode_wav(_wav(85, 0, b""))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audio_features_stage_all_wav_formats():
+    """The AudioFeatures Ray stage decodes every supported WAV encoding of
+    the SAME clip and produces matching features (lossy codecs within
+    tolerance) — the multimodal plumbing, not just the codec."""
+    import pyarrow as pa
+    import ray.data
+
+    from oar_ocr_ray.stages.multimodal import AudioFeatures
+    from oar_ocr_ray.wav_codec import (encode_wav, encode_wav_adpcm,
+                                       encode_wav_g711, encode_wav_msadpcm)
+
+    s = _sig(505 * 2, seed=9)
+    payloads = {
+        "pcm16": encode_wav(s, 16000),
+        "ima": encode_wav_adpcm(s, 16000),
+        "ms": encode_wav_msadpcm(s, 16000, samples_per_block=505 * 2),
+        "mu": encode_wav_g711(s, 16000, law="mu"),
+        "a": encode_wav_g711(s, 16000, law="a"),
+    }
+    names = list(payloads)
+    out = (
+        ray.data.from_arrow(pa.table({
+            "clip_id": names,
+            "payload": pa.array([payloads[n] for n in names], pa.binary()),
+        }))
+        .map_batches(AudioFeatures, concurrency=1, batch_size=5,
+                     batch_format="pyarrow", num_cpus=1)
+        .to_pandas().set_index("clip_id")
+    )
+    ref = out.loc["pcm16"]
+    assert abs(ref["duration_s"] - 505 * 2 / 16000) < 1e-9
+    for n in names[1:]:
+        row = out.loc[n]
+        assert row["sample_rate"] == 16000
+        # lossy encodings preserve level/rate features closely
+        assert abs(row["rms"] - ref["rms"]) / ref["rms"] < 0.05, n
+        assert abs(row["duration_s"] - ref["duration_s"]) < 1e-9, n
