@@ -2881,10 +2881,16 @@ def dup_ngram_spans(sf_dir: str, n: int = 3, n_parts: int = 512):
         out = pd.DataFrame({"doc_id": doc_rep[:m][valid],
                             "pos": pos_in_doc[:m][valid],
                             "gram": grams[valid]})
-        # internal partition key (the oracle never sees it): any vectorized
-        # deterministic hash works
-        out["part"] = (pd.util.hash_array(out["gram"].to_numpy(dtype=object))
-                       % n_parts).astype(np.int64)
+        # internal partition key (the oracle never sees it) — md5, the
+        # _vocab_combine rule: pd.util.hash_array is only stable within one
+        # pandas version, and a gram split across partitions would break
+        # the in-partition nunique>=2 filter. Factorized: one hash per
+        # DISTINCT gram.
+        from .functions.dedup import md5_lower64_batch
+
+        codes, uniq = pd.factorize(out["gram"])
+        hv = (md5_lower64_batch(uniq) % np.uint64(n_parts)).astype(np.int64)
+        out["part"] = hv[codes]
         return out
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -4609,7 +4615,7 @@ def q17_small_quantity_revenue(sf_dir: str):
     engines; revenue is integer cents, one float division at the end."""
     def l_part(df: pd.DataFrame) -> pd.DataFrame:
         k = df["l_partkey"].to_numpy(dtype=np.int64)
-        q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        q = np.floor(df["l_quantity"].to_numpy() + 0.5).astype(np.int64)  # half-away (= SQL round) on positive qty; np.rint is half-even
         cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         return pd.DataFrame({"key": k, "side": np.int8(1), "qty": q,
                              "cents": cents, "bp": _bpart(k)})
@@ -4982,6 +4988,7 @@ def q15_top_supplier(sf_dir: str):
               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pandas")
         .groupby("l_suppkey").aggregate(Sum("c4", alias_name="c4"))
+        .materialize()  # supplier-cardinality; consumed twice (max + filter)
     )
     mx = rev.max("c4")
     winners = rev.map_batches(
@@ -5047,7 +5054,7 @@ def q19_disjunctive_revenue(sf_dir: str):
                              "bp": _bpart(k)})
 
     def l_part(df: pd.DataFrame) -> pd.DataFrame:
-        q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        q = np.floor(df["l_quantity"].to_numpy() + 0.5).astype(np.int64)  # half-away (= SQL round) on positive qty; np.rint is half-even
         m = (q >= qty_lo) & (q <= qty_hi)
         d = df[m]
         k = d["l_partkey"].to_numpy(dtype=np.int64)
@@ -5251,10 +5258,10 @@ def chunk_documents(sf_dir: str, size: int = 128, stride: int = 96):
 
 CHUNK_DOCUMENTS_SQL = """
 SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-       substring(text, CAST(i * 96 + 1 AS INT), 128) AS chunk
+       substring(coalesce(text, ''), CAST(i * 96 + 1 AS INT), 128) AS chunk
 FROM documents,
-     unnest(range(0, greatest(1, CAST(ceil((length(text) - 32) / 96.0)
-                                      AS BIGINT)))) AS t(i)
+     unnest(range(0, greatest(1, CAST(ceil((length(coalesce(text, '')) - 32)
+                                           / 96.0) AS BIGINT)))) AS t(i)
 ORDER BY doc_id, chunk_id
 """
 
@@ -5292,8 +5299,13 @@ def source_overlap_matrix(sf_dir: str, n: int = 3, n_parts: int = 512):
         valid = doc_rep[:m] == doc_rep[n - 1:]
         out = pd.DataFrame({"source": src_rep[:m][valid],
                             "gram": grams[valid]}).drop_duplicates()
-        out["part"] = (pd.util.hash_array(out["gram"].to_numpy(dtype=object))
-                       % n_parts).astype(np.int64)
+        # md5 partition key (version-stable, the _vocab_combine rule):
+        # factorize first so the hash runs once per DISTINCT gram
+        from .functions.dedup import md5_lower64_batch
+
+        codes, uniq = pd.factorize(out["gram"])
+        hv = (md5_lower64_batch(uniq) % np.uint64(n_parts)).astype(np.int64)
+        out["part"] = hv[codes]
         return out
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:

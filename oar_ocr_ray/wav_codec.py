@@ -51,6 +51,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     bits = None
     audio_fmt = None
     block_align = None
+    fact_samples = None
     samples = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
@@ -82,6 +83,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                         f"{bits}-bit MS-ADPCM unsupported (4-bit only)")
             else:
                 raise NotImplementedError(f"non-PCM wav format {audio_fmt}")
+        elif cid == b"fact" and size >= 4:
+            fact_samples = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             if ch is None:
                 raise ValueError("data chunk before fmt")
@@ -125,6 +128,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 samples = arr.reshape(-1, ch)
     if samples is None or rate is None:
         raise ValueError("truncated wav (missing fmt/data)")
+    if fact_samples is not None and audio_fmt != 1:
+        # compressed formats: the fact chunk carries the true per-channel
+        # sample count — trim encoder block padding
+        samples = samples[:fact_samples]
     return samples, int(rate)
 
 
@@ -312,9 +319,11 @@ def encode_wav_adpcm(samples: np.ndarray, rate: int = 16000,
     byte_rate = rate * block_align // spb
     fmt = struct.pack("<HHIIHHHH", 17, ch, rate, byte_rate, block_align,
                       4, 2, spb)
+    fact = struct.pack("<I", n)
     chunks = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(payload)) + payload
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
@@ -457,11 +466,18 @@ def encode_wav_msadpcm(samples: np.ndarray, rate: int = 16000,
     packed = ((flat[:, 0::2] << 4) | flat[:, 1::2]).astype(np.uint8)
     payload = np.concatenate([hdr, packed], axis=1).tobytes()
     byte_rate = rate * block_align // spb
-    fmt = struct.pack("<HHIIHHHH", 2, ch, rate, byte_rate, block_align,
-                      4, 2, spb)
+    # conformant MS-ADPCM extension: cbSize=32 = wSamplesPerBlock +
+    # wNumCoef(7) + the seven published coefficient pairs
+    ext = struct.pack("<HH", spb, 7) + b"".join(
+        struct.pack("<hh", int(_MS_COEF1[p]), int(_MS_COEF2[p]))
+        for p in range(7))
+    fmt = struct.pack("<HHIIHHH", 2, ch, rate, byte_rate, block_align,
+                      4, len(ext)) + ext
+    fact = struct.pack("<I", n)
     chunks = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(payload)) + payload
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
